@@ -1,0 +1,93 @@
+"""SE(3) exponential / logarithm maps and rigid-transform helpers.
+
+TPU-native re-design of `/root/reference/transform/rodrigues.py:470-657`
+(SE3.exp `:526`, SE3.log `:566`, SE3.transform `:579`).  Twist convention
+matches the reference: x = [w, v] with w the rotational part.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import so3
+
+
+def _left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
+    """V(w) = I + sinc2(t) W + sinc3(t) W^2 so that trans = V v."""
+    t = so3.safe_norm(w)
+    W = so3.hat(w)
+    W2 = W @ W
+    I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    s2 = so3.sinc2(t)[..., None, None]
+    s3 = so3.sinc3(t)[..., None, None]
+    return I + s2 * W + s3 * W2
+
+
+def _left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
+    """V(w)^{-1} in closed form: I - W/2 + (1 - sinc1/(2 sinc2))/t^2 W^2."""
+    t = so3.safe_norm(w)
+    W = so3.hat(w)
+    W2 = W @ W
+    I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    s1 = so3.sinc1(t)
+    s2 = so3.sinc2(t)
+    t2 = t * t
+    # coefficient (1 - s1/(2 s2)) / t^2 with Taylor limit 1/12 at t -> 0
+    coef_exact = (1.0 - s1 / (2.0 * s2)) / jnp.where(t2 < 1e-8, 1.0, t2)
+    coef_taylor = 1.0 / 12.0 + t2 / 720.0
+    coef = jnp.where(t < 1e-2, coef_taylor, coef_exact)[..., None, None]
+    return I - 0.5 * W + coef * W2
+
+
+def exp(x: jnp.ndarray) -> jnp.ndarray:
+    """Twist [..., 6] = [w, v] -> homogeneous transform [..., 4, 4]."""
+    w, v = x[..., :3], x[..., 3:]
+    R = so3.exp(w)
+    V = _left_jacobian(w)
+    t = jnp.einsum('...ij,...j->...i', V, v)
+    return pack(R, t)
+
+
+def log(T: jnp.ndarray) -> jnp.ndarray:
+    """Homogeneous transform [..., 4, 4] -> twist [..., 6] = [w, v]."""
+    R, t = unpack(T)
+    w = so3.log(R)
+    Vinv = _left_jacobian_inv(w)
+    v = jnp.einsum('...ij,...j->...i', Vinv, t)
+    return jnp.concatenate([w, v], axis=-1)
+
+
+def pack(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Build [..., 4, 4] from rotation [..., 3, 3] and translation [..., 3]."""
+    batch = R.shape[:-2]
+    T = jnp.zeros(batch + (4, 4), dtype=R.dtype)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(t)
+    T = T.at[..., 3, 3].set(1.0)
+    return T
+
+
+def unpack(T: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return T[..., :3, :3], T[..., :3, 3]
+
+
+def transform(T: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Apply [..., 4, 4] to points [..., N, 3] -> [..., N, 3]."""
+    R, t = unpack(T)
+    return jnp.einsum('...ij,...nj->...ni', R, points) + t[..., None, :]
+
+
+def apply(R: jnp.ndarray, t: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Apply (R, t) to points [..., N, 3]."""
+    return jnp.einsum('...ij,...nj->...ni', R, points) + t[..., None, :]
+
+
+def inverse(T: jnp.ndarray) -> jnp.ndarray:
+    R, t = unpack(T)
+    Rinv = jnp.swapaxes(R, -1, -2)
+    tinv = -jnp.einsum('...ij,...j->...i', Rinv, t)
+    return pack(Rinv, tinv)
+
+
+def compose(Ta: jnp.ndarray, Tb: jnp.ndarray) -> jnp.ndarray:
+    """Ta @ Tb (apply Tb first, then Ta)."""
+    return Ta @ Tb

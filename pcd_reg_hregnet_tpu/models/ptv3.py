@@ -1,0 +1,151 @@
+"""PointTransformerV3-style serialized-attention encoder, TPU-native.
+
+Re-designs the encoder-only PTv3 wrapper the reference vendors from
+Pointcept (`/root/reference/models/model_v6/ptv3_mod.py:41-150`, core
+`ptv3.py:383-613`) around this framework's fixed-shape batches:
+
+* Serialization is a per-cloud z-order sort (`ops/serialization.py`); the
+  reference's pad/unpad bookkeeping (`ptv3.py:383-438`) disappears because
+  every level's point count is a static multiple of its patch size.
+* Patch attention is a dense reshape to [B * patches, K, C] multi-head
+  attention — exactly the computation flash-attn-varlen performs for the
+  reference (`ptv3.py:476-482`), expressed so XLA tiles it on the MXU.
+  A fused Pallas kernel with the same signature lives in `ops/pallas/`.
+* The submanifold-sparse-conv CPE and stem (`spconv.SubMConv3d`,
+  `ptv3.py:546-555,773-781`) have no TPU library; they are replaced by a
+  depthwise convolution over the serialized sequence — a static-shape
+  neighbourhood mix that follows the space-filling curve's spatial
+  locality.  This is a documented deviation; accuracy is validated against
+  the reference targets (BASELINE.md).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import serialization
+
+
+class SerializedDepthwiseConv(nn.Module):
+    """Depthwise conv along the serialized (space-filling-curve) order.
+
+    TPU substitute for the spconv submanifold CPE (`ptv3.py:546-555`):
+    mixes each point with its predecessors/successors on the z-order
+    curve, which are spatial neighbours with high probability.
+    """
+    channels: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, N, C] already serialized
+        return nn.Conv(self.channels, kernel_size=(self.kernel,),
+                       feature_group_count=self.channels, padding='SAME')(x)
+
+
+class PatchAttention(nn.Module):
+    """Multi-head attention within fixed-size serialized patches.
+
+    Equivalent of `SerializedAttention` (`ptv3.py:440-517`) for static
+    shapes: N divisible by patch_size by construction.
+    """
+    channels: int
+    num_heads: int
+    patch_size: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # [B, N, C] serialized
+        B, N, C = x.shape
+        K = min(self.patch_size, N)
+        H = self.num_heads
+        d = C // H
+        scale = d ** -0.5
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias)(x)      # [B,N,3C]
+        qkv = qkv.reshape(B, N // K, K, 3, H, d)
+        q, k, v = jnp.moveaxis(qkv, 3, 0)                      # each [B,P,K,H,d]
+        attn = jnp.einsum('bpkhd,bpmhd->bphkm', q * scale, k)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum('bphkm,bpmhd->bpkhd', attn, v)
+        out = out.reshape(B, N, C)
+        return nn.Dense(C)(out)
+
+
+class PTv3Mlp(nn.Module):
+    channels: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(int(self.channels * self.mlp_ratio))(x)
+        h = nn.gelu(h)
+        return nn.Dense(self.channels)(h)
+
+
+class PTv3Block(nn.Module):
+    """CPE + pre-norm patch attention + pre-norm MLP (`ptv3.py:519-613`)."""
+    channels: int
+    num_heads: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        # CPE: serialized depthwise conv + linear + norm, residual
+        cpe = SerializedDepthwiseConv(self.channels)(x)
+        cpe = nn.Dense(self.channels)(cpe)
+        cpe = nn.LayerNorm(epsilon=1e-2)(cpe)
+        x = x + cpe
+
+        h = nn.LayerNorm(epsilon=1e-2)(x)
+        x = x + PatchAttention(self.channels, self.num_heads, self.patch_size)(h)
+
+        h = nn.LayerNorm(epsilon=1e-2)(x)
+        x = x + PTv3Mlp(self.channels, self.mlp_ratio)(h)
+        return x
+
+
+class PointTransformerEncoder(nn.Module):
+    """Encoder-only PTv3 with channel-preserving stage transitions.
+
+    Mirrors `PointTransformerEncoder` (`ptv3_mod.py:41-150`): an embedding
+    stem, then `len(depths)` stages of [DummyPooling (s>0)] + Block x depth.
+    The reference's DummyPooling keeps N and applies Linear+BN+GELU
+    (`ptv3_mod.py:17-37`); so does ours.
+
+    Input:  xyz [B, N, 3], feat [B, N, C_in].  Output: [B, N, C_out].
+    """
+    channels: int
+    depths: Tuple[int, ...] = (2, 2, 2)
+    num_heads: Tuple[int, ...] = (2, 4, 8)
+    patch_size: int = 256
+    mlp_ratio: float = 4.0
+    grid_size: float = 0.01
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, xyz, feat, train: bool = False):
+        order, inverse = serialization.serialize(xyz, self.grid_size, 'z')
+        x = jnp.take_along_axis(feat, order[..., None], axis=1)
+
+        # Embedding stem (`ptv3.py:760-795`): serialized conv + norm + GELU
+        x = SerializedDepthwiseConv(x.shape[-1], kernel=5)(x)
+        x = nn.Dense(self.channels)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.01,
+                         epsilon=1e-2, axis_name=self.axis_name)(x)
+        x = nn.gelu(x)
+
+        for s, depth in enumerate(self.depths):
+            if s > 0:
+                x = nn.Dense(self.channels)(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, axis_name=self.axis_name)(x)
+                x = nn.gelu(x)
+            for _ in range(depth):
+                x = PTv3Block(self.channels, self.num_heads[s],
+                              self.patch_size, self.mlp_ratio)(x)
+
+        return jnp.take_along_axis(x, inverse[..., None], axis=1)

@@ -1,0 +1,74 @@
+"""Brute-force batched k-nearest-neighbour search + grouping, MXU-friendly.
+
+TPU-native equivalent of pytorch3d's `knn_points` / `knn_gather` as consumed
+throughout the reference model layers (`/root/reference/models/HRegNet/
+layers.py:7,20,278,316,434`).  The point counts in this framework are small
+and static (<= 8096), so a dense distance matrix computed as one batched
+matmul (`-2 q @ d^T` plus norms) rides the MXU and XLA fuses the top-k; no
+spatial acceleration structure is needed or wanted on TPU.
+
+Returns squared distances sorted ascending, matching pytorch3d.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(query: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distances [B, M, N] between [B, M, D] and [B, N, D]."""
+    qn = jnp.sum(query * query, axis=-1, keepdims=True)          # [B,M,1]
+    dn = jnp.sum(database * database, axis=-1, keepdims=True)    # [B,N,1]
+    cross = jnp.einsum('bmd,bnd->bmn', query, database)          # MXU matmul
+    d2 = qn - 2.0 * cross + jnp.swapaxes(dn, -1, -2)
+    return jnp.maximum(d2, 0.0)
+
+
+@partial(jax.jit, static_argnames=('k',))
+def knn(query: jnp.ndarray, database: jnp.ndarray, k: int):
+    """k nearest neighbours of each query point in the database.
+
+    Args:
+        query: [B, M, D]; database: [B, N, D]; k: static neighbour count.
+    Returns:
+        (sqdists [B, M, k], idx [B, M, k] int32), ascending by distance.
+    """
+    d2 = pairwise_sqdist(query, database)
+    neg_d, idx = jax.lax.top_k(-d2, k)
+    return -neg_d, idx.astype(jnp.int32)
+
+
+def knn_gather(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather neighbour features: [B, N, C] x [B, M, k] -> [B, M, k, C]."""
+    B, M, k = idx.shape
+    flat = jnp.take_along_axis(data, idx.reshape(B, M * k, 1), axis=1)
+    return flat.reshape(B, M, k, data.shape[-1])
+
+
+@partial(jax.jit, static_argnames=('k',))
+def knn_group(xyz1: jnp.ndarray, xyz2: jnp.ndarray, features2, k: int):
+    """kNN grouping with relative-position features.
+
+    Re-designs `knn_group` (`/root/reference/models/HRegNet/layers.py:9-27`)
+    in channels-last layout (natural for TPU conv/matmul lowering; the
+    reference permutes to channels-first for torch Conv2d).
+
+    Args:
+        xyz1: query points [B, M, 3];  xyz2: database [B, N, 3];
+        features2: [B, N, C] or None;  k: static.
+    Returns:
+        grouped: [B, M, k, 4 + C] = concat(rel_xyz, rel_dist, neigh_feats)
+        knn_xyz: [B, M, k, 3] neighbour coordinates.
+    """
+    _, idx = knn(xyz1, xyz2, k)
+    knn_xyz = knn_gather(xyz2, idx)                     # [B,M,k,3]
+    rela_xyz = knn_xyz - xyz1[:, :, None, :]            # [B,M,k,3]
+    # sqrt with epsilon: query points may be exact database points (FPS
+    # keypoints are), and norm-at-zero has a NaN gradient
+    rela_dist = jnp.sqrt(jnp.sum(rela_xyz * rela_xyz, axis=-1, keepdims=True) + 1e-12)
+    parts = [rela_xyz, rela_dist]
+    if features2 is not None:
+        parts.append(knn_gather(features2, idx))
+    return jnp.concatenate(parts, axis=-1), knn_xyz

@@ -1,0 +1,98 @@
+"""Forward-pass and shape tests for every model variant (small configs)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcd_reg_hregnet_tpu.core.config import LevelConfig
+from pcd_reg_hregnet_tpu.models import RegistrationModel, model_config
+from pcd_reg_hregnet_tpu.models.zoo import available
+
+SMALL_LEVELS = (
+    LevelConfig(64, 16, (16, 16, 32), 32),
+    LevelConfig(32, 8, (32, 32, 64), 64),
+    LevelConfig(16, 8, (64, 64, 128), 128),
+)
+
+
+def small_cfg(name, **kw):
+    cfg = model_config(name)
+    over = dict(levels=SMALL_LEVELS)
+    if cfg.backbone == 'ptv3':
+        over['ptv3_patch_sizes'] = (16, 16, 16)
+        over['ptv3_depths'] = (1, 1)
+        over['ptv3_num_heads'] = (2, 4)
+    over.update(kw)
+    return dataclasses.replace(cfg, **over)
+
+
+def make_inputs(n=256, batch=2):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    return (jax.random.uniform(k1, (batch, n, 3)) * 20,
+            jax.random.uniform(k2, (batch, n, 3)) * 20)
+
+
+class TestVariants:
+    @pytest.mark.parametrize('name', [n for n in available() if n != 'model_v5'])
+    def test_forward(self, name):
+        cfg = small_cfg(name)
+        if cfg.backbone == 'attention':
+            pytest.skip('v5 attention backbone tested separately')
+        model = RegistrationModel(cfg)
+        src, dst = make_inputs()
+        variables = model.init(jax.random.PRNGKey(0), src, dst, train=False)
+        out = model.apply(variables, src, dst, train=False)
+
+        assert len(out['rotation']) == 3 and len(out['translation']) == 3
+        for R, t in zip(out['rotation'], out['translation']):
+            assert R.shape == (2, 3, 3) and t.shape == (2, 3)
+            np.testing.assert_allclose(np.asarray(jnp.linalg.det(R)),
+                                       np.ones(2), atol=1e-3)
+        if cfg.mi_from_fine2 or cfg.mi_from_coarse:
+            for k in ('mi_weights', 'mi_weights_prime', 'mi_feats', 'mi_feats_prime'):
+                assert k in out
+        if cfg.circle_dists:
+            assert out['coord_dist'].shape == out['feats_dist'].shape
+
+    def test_train_mode_updates_batch_stats(self):
+        model = RegistrationModel(small_cfg('hregnet'))
+        src, dst = make_inputs()
+        variables = model.init(jax.random.PRNGKey(0), src, dst, train=False)
+        _, mutated = model.apply(variables, src, dst, train=True,
+                                 mutable=['batch_stats'])
+        before = jax.tree.leaves(variables['batch_stats'])
+        after = jax.tree.leaves(mutated['batch_stats'])
+        assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+    def test_identity_pair_small_pose(self):
+        """src == dst must yield a near-identity pose even untrained:
+        correspondences are convex combos of real neighbours."""
+        model = RegistrationModel(small_cfg('hregnet'))
+        src, _ = make_inputs()
+        variables = model.init(jax.random.PRNGKey(1), src, src, train=False)
+        out = model.apply(variables, src, src, train=False)
+        for R, t in zip(out['rotation'], out['translation']):
+            assert bool(jnp.all(jnp.isfinite(R))) and bool(jnp.all(jnp.isfinite(t)))
+        # per-level translation is a convex combo of in-cloud points, so it
+        # stays within the cloud extent at the coarse level
+        t3_norm = float(jnp.linalg.norm(out['translation'][0], axis=-1).max())
+        assert t3_norm < 3.0 * 20.0
+
+    def test_jit_and_grad(self):
+        model = RegistrationModel(small_cfg('hregnet'))
+        src, dst = make_inputs(n=128, batch=1)
+        variables = model.init(jax.random.PRNGKey(0), src, dst, train=False)
+
+        @jax.jit
+        def loss_fn(params):
+            out = model.apply({'params': params,
+                               'batch_stats': variables['batch_stats']},
+                              src, dst, train=False)
+            return jnp.sum(out['translation'][2] ** 2)
+
+        g = jax.grad(loss_fn)(variables['params'])
+        leaves = jax.tree.leaves(g)
+        assert all(jnp.all(jnp.isfinite(l)) for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)

@@ -1,0 +1,152 @@
+"""Golden tests for core ops against numpy reference implementations."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcd_reg_hregnet_tpu.geometry import se3, so3
+from pcd_reg_hregnet_tpu.ops import sampling as fps_mod
+from pcd_reg_hregnet_tpu.ops import neighbors as knn_mod
+from pcd_reg_hregnet_tpu.ops import serialization
+from pcd_reg_hregnet_tpu.ops.procrustes import weighted_kabsch
+
+
+def np_fps(xyz, m, w=None):
+    """Literal numpy transcription of the CUDA FPS loop
+    (furthest_point_sampling_gpu.cu:84-419)."""
+    N = xyz.shape[0]
+    temp = np.full(N, 1e10)
+    idxs, last = [0], 0
+    for _ in range(1, m):
+        d = ((xyz - xyz[last]) ** 2).sum(-1)
+        if w is not None:
+            d = d * w
+        temp = np.minimum(temp, d)
+        last = int(temp.argmax())
+        idxs.append(last)
+    return np.array(idxs)
+
+
+class TestFPS:
+    def test_matches_reference_algorithm(self):
+        xyz = np.asarray(jax.random.uniform(jax.random.PRNGKey(0), (3, 200, 3)))
+        idx = np.asarray(fps_mod.fps(jnp.asarray(xyz), 32))
+        for b in range(3):
+            np.testing.assert_array_equal(idx[b], np_fps(xyz[b], 32))
+
+    def test_weighted_matches_reference_algorithm(self):
+        key = jax.random.PRNGKey(1)
+        xyz = np.asarray(jax.random.uniform(key, (2, 150, 3)))
+        w = np.asarray(jax.random.uniform(jax.random.PRNGKey(2), (2, 150))) + 0.1
+        idx = np.asarray(fps_mod.weighted_fps(jnp.asarray(xyz), jnp.asarray(w), 24))
+        for b in range(2):
+            np.testing.assert_array_equal(idx[b], np_fps(xyz[b], 24, w[b]))
+
+    def test_indices_unique(self):
+        xyz = jax.random.uniform(jax.random.PRNGKey(3), (1, 128, 3))
+        idx = np.asarray(fps_mod.fps(xyz, 64))[0]
+        assert len(set(idx.tolist())) == 64
+
+    def test_gather_points(self):
+        pts = jax.random.normal(jax.random.PRNGKey(4), (2, 10, 5))
+        idx = jnp.array([[0, 3, 7], [9, 1, 1]], dtype=jnp.int32)
+        out = fps_mod.gather_points(pts, idx)
+        assert out.shape == (2, 3, 5)
+        np.testing.assert_allclose(out[0, 1], pts[0, 3])
+        np.testing.assert_allclose(out[1, 2], pts[1, 1])
+
+
+class TestKNN:
+    def test_matches_numpy_sort(self):
+        q = np.asarray(jax.random.uniform(jax.random.PRNGKey(5), (2, 20, 3)))
+        db = np.asarray(jax.random.uniform(jax.random.PRNGKey(6), (2, 60, 3)))
+        d2, idx = knn_mod.knn(jnp.asarray(q), jnp.asarray(db), 5)
+        full = ((q[:, :, None] - db[:, None]) ** 2).sum(-1)
+        ref_idx = np.argsort(full, axis=-1)[:, :, :5]
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        np.testing.assert_allclose(np.asarray(d2),
+                                   np.take_along_axis(full, ref_idx, -1), atol=1e-5)
+
+    def test_knn_group_features(self):
+        key = jax.random.PRNGKey(7)
+        xyz1 = jax.random.uniform(key, (1, 8, 3))
+        xyz2 = jax.random.uniform(jax.random.PRNGKey(8), (1, 30, 3))
+        feats = jax.random.normal(jax.random.PRNGKey(9), (1, 30, 6))
+        grouped, knn_xyz = knn_mod.knn_group(xyz1, xyz2, feats, 4)
+        assert grouped.shape == (1, 8, 4, 10)  # 3 rel + 1 dist + 6 feats
+        assert knn_xyz.shape == (1, 8, 4, 3)
+        # rel dist column matches norm of rel xyz
+        np.testing.assert_allclose(
+            np.asarray(grouped[..., 3]),
+            np.linalg.norm(np.asarray(grouped[..., :3]), axis=-1), atol=1e-5)
+
+
+class TestWeightedKabsch:
+    def test_recovers_exact_transform(self):
+        key = jax.random.PRNGKey(10)
+        src = jax.random.uniform(key, (4, 100, 3)) * 10
+        R = so3.exp(jax.random.normal(jax.random.PRNGKey(11), (4, 3)) * 0.5)
+        t = jax.random.normal(jax.random.PRNGKey(12), (4, 3))
+        dst = se3.apply(R, t, src)
+        w = jax.random.uniform(jax.random.PRNGKey(13), (4, 100)) + 0.1
+        Rp, tp = weighted_kabsch(src, dst, w)
+        np.testing.assert_allclose(Rp, R, atol=1e-4)
+        np.testing.assert_allclose(tp, t, atol=1e-3)
+
+    def test_proper_rotation_with_reflection_risk(self):
+        # degenerate (planar) points can produce det=-1 without the fix
+        src = jax.random.uniform(jax.random.PRNGKey(14), (2, 50, 3))
+        src = src.at[..., 2].set(0.0)
+        dst = -src  # reflection-ish correspondence
+        R, t = weighted_kabsch(src, dst, jnp.ones((2, 50)))
+        np.testing.assert_allclose(jnp.linalg.det(R), jnp.ones(2), atol=1e-4)
+
+    def test_nonfinite_fallback_identity(self):
+        src = jnp.full((1, 10, 3), jnp.nan)
+        R, t = weighted_kabsch(src, src, jnp.ones((1, 10)))
+        np.testing.assert_allclose(R[0], jnp.eye(3))
+        np.testing.assert_allclose(t[0], jnp.zeros(3))
+
+    def test_grad_flows(self):
+        def loss(src):
+            dst = src + 1.0
+            R, t = weighted_kabsch(src, dst, jnp.ones((1, 20)))
+            return jnp.sum(t)
+        g = jax.grad(loss)(jax.random.uniform(jax.random.PRNGKey(15), (1, 20, 3)))
+        assert jnp.all(jnp.isfinite(g))
+
+
+class TestSerialization:
+    def test_permutation_roundtrip(self):
+        xyz = jax.random.uniform(jax.random.PRNGKey(16), (3, 64, 3)) * 50
+        order, inverse = serialization.serialize(xyz)
+        x = jax.random.normal(jax.random.PRNGKey(17), (3, 64, 7))
+        xs = jnp.take_along_axis(x, order[..., None], axis=1)
+        xr = jnp.take_along_axis(xs, inverse[..., None], axis=1)
+        np.testing.assert_array_equal(np.asarray(xr), np.asarray(x))
+
+    def test_zorder_locality(self):
+        # points in the same octant should be contiguous in z-order
+        xyz = jnp.array([[[0.1, 0.1, 0.1], [10.0, 10.0, 10.0],
+                          [0.2, 0.2, 0.2], [10.1, 10.1, 10.1]]])
+        order, _ = serialization.serialize(xyz, grid_size=1.0)
+        o = np.asarray(order[0]).tolist()
+        # neighbours {0,2} and {1,3} must be adjacent in the ordering
+        pos = {v: i for i, v in enumerate(o)}
+        assert abs(pos[0] - pos[2]) == 1
+        assert abs(pos[1] - pos[3]) == 1
+
+    def test_matches_numpy_morton(self):
+        rng = np.random.RandomState(0)
+        g = rng.randint(0, 2 ** 20, size=(50, 3)).astype(np.int64)
+
+        def np_morton(v):
+            out = 0
+            for bit in range(20):
+                for axis in range(3):
+                    out |= ((int(v[axis]) >> bit) & 1) << (3 * bit + axis)
+            return out
+
+        hi, lo = serialization.z_order_keys(jnp.asarray(g))
+        codes = (np.asarray(hi, dtype=np.uint64) << np.uint64(30)) | np.asarray(lo, dtype=np.uint64)
+        expected = np.array([np_morton(v) for v in g], dtype=np.uint64)
+        np.testing.assert_array_equal(codes, expected)
