@@ -1,0 +1,124 @@
+"""Command-line interface: train / evaluate / pretrain / bench.
+
+Replaces the reference's 15 train scripts + 4 test scripts + shell
+wrappers (`/root/reference/train/`, `test/`, `scripts/*.sh`) with one CLI
+over the experiment registry:
+
+    python -m pcd_reg_hregnet_tpu train --experiment reg_v11 --dataset man \
+        --data-path /data/truckscenes --epochs 100
+    python -m pcd_reg_hregnet_tpu eval  --experiment reg_v11 --ckpt runs/ckpt/best_rre \
+        --icp point_to_plane --results results/results.json
+    python -m pcd_reg_hregnet_tpu pretrain-feats --stage detector
+    python -m pcd_reg_hregnet_tpu bench
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+
+def _common(p: argparse.ArgumentParser) -> None:
+    p.add_argument('--experiment', default='reg_v11',
+                   help='named experiment preset (see train/experiments.py)')
+    p.add_argument('--dataset', default=None, choices=['man', 'audi', 'synthetic'])
+    p.add_argument('--data-path', default=None)
+    p.add_argument('--batch-size', type=int, default=None)
+    p.add_argument('--epochs', type=int, default=None)
+    p.add_argument('--lr', type=float, default=None)
+    p.add_argument('--seed', type=int, default=None)
+    p.add_argument('--npoints', type=int, default=None)
+    p.add_argument('--log-dir', default='runs')
+    p.add_argument('--use-wandb', action='store_true')
+
+
+def _build_config(args):
+    from .train.experiments import experiment
+    cfg = experiment(args.experiment)
+    data_over, train_over = {}, {}
+    if args.dataset:
+        data_over['dataset'] = args.dataset
+    if args.data_path:
+        data_over['path'] = args.data_path
+    if args.batch_size:
+        data_over['batch_size'] = args.batch_size
+    if args.npoints:
+        data_over['pcd_min_samples'] = args.npoints
+    if args.epochs:
+        train_over['epochs'] = args.epochs
+    if args.lr:
+        train_over['lr'] = args.lr
+    if args.seed is not None:
+        train_over['seed'] = args.seed
+    if args.use_wandb:
+        train_over['use_wandb'] = True
+    return dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, **data_over),
+        train=dataclasses.replace(cfg.train, **train_over))
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser('pcd_reg_hregnet_tpu')
+    sub = parser.add_subparsers(dest='cmd', required=True)
+
+    p_train = sub.add_parser('train', help='train a registration experiment')
+    _common(p_train)
+    p_train.add_argument('--max-steps', type=int, default=None)
+
+    p_eval = sub.add_parser('eval', help='evaluate on the test split')
+    _common(p_eval)
+    p_eval.add_argument('--ckpt', required=True)
+    p_eval.add_argument('--icp', default=None,
+                        choices=[None, 'point_to_point', 'point_to_plane'])
+    p_eval.add_argument('--results', default='results/results.json')
+
+    p_feats = sub.add_parser('pretrain-feats', help='detector/descriptor pretrain')
+    _common(p_feats)
+    p_feats.add_argument('--stage', default='detector',
+                         choices=['detector', 'descriptor'])
+    p_feats.add_argument('--pretrain-detector', default=None)
+
+    p_bench = sub.add_parser('bench', help='single-chip throughput benchmark')
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == 'train':
+        from .train import fit
+        cfg = _build_config(args)
+        _, val = fit(cfg, log_dir=args.log_dir, max_steps=args.max_steps)
+        print({k: round(v, 4) for k, v in val.items()})
+        return 0
+
+    if args.cmd == 'eval':
+        import jax
+        from .data import batch_iterator, load_dataset
+        from .eval.runner import evaluate
+        from .train.loop import create_state, restore_checkpoint
+        from .train.objective import RegistrationObjective
+        cfg = _build_config(args)
+        ds = load_dataset(cfg.data, 'test')
+        sample = next(batch_iterator(ds, cfg.data.batch_size, drop_last=False))
+        objective = RegistrationObjective(cfg)
+        state, _ = create_state(cfg, objective, sample, 1)
+        state = restore_checkpoint(args.ckpt, state)
+        out = evaluate(cfg, state, icp=args.icp, results_path=args.results,
+                       dataset=ds)
+        print(out['summary'])
+        return 0
+
+    if args.cmd == 'pretrain-feats':
+        print('pretrain-feats: use pcd_reg_hregnet_tpu.train.feats API '
+              '(script wiring lands with the full pretrain recipe)')
+        return 0
+
+    if args.cmd == 'bench':
+        import runpy
+        runpy.run_path('bench.py', run_name='__main__')
+        return 0
+
+    return 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -75,6 +75,7 @@ class DataConfig:
     max_trans_error: float = 0.5      # metres
     distribution: str = 'uniform'
     mag_randomly: bool = True
+    max_intensity: float = 1.0
     batch_size: int = 1
     num_workers: int = 6
     limscenes: Optional[int] = None

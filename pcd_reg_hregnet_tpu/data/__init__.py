@@ -1,0 +1,32 @@
+"""Dataset dispatch — equivalent of `/root/reference/dataset/data_loader.py:5`."""
+from __future__ import annotations
+
+from ..core.config import DataConfig
+from .pipeline import PairDataset, batch_iterator
+from .synthetic import SyntheticPairSource
+
+
+def load_dataset(cfg: DataConfig, split: str = 'train', **kwargs) -> PairDataset:
+    """Build a fixed-shape pair dataset for the configured source.
+
+    Mirrors `load_dataset(config, split)` (`dataset/data_loader.py:5-35`):
+    'man' -> TruckScenes, 'audi' -> A2D2, plus the new hermetic
+    'synthetic' source (no reference counterpart).
+    """
+    if cfg.dataset == 'man':
+        from .truckscenes import TruckScenesPairSource
+        source = TruckScenesPairSource(cfg, split)
+    elif cfg.dataset == 'audi':
+        from .a2d2 import A2D2PairSource
+        source = A2D2PairSource(cfg, split, **kwargs)
+    elif cfg.dataset == 'synthetic':
+        source = SyntheticPairSource(
+            length=kwargs.pop('length', {'train': 64, 'val': 16, 'test': 16}[split]),
+            points_per_cloud=kwargs.pop('points_per_cloud', 2 * cfg.pcd_min_samples),
+            seed={'train': 0, 'val': 101, 'test': 202}[split])
+    else:
+        raise ValueError(f'unknown dataset {cfg.dataset!r}')
+    return PairDataset(source, cfg, split)
+
+
+__all__ = ['load_dataset', 'PairDataset', 'batch_iterator', 'SyntheticPairSource']

@@ -1,0 +1,191 @@
+"""Host-side preprocessing pipeline: filter, resample, decalibrate, batch.
+
+TPU-native re-design of `/root/reference/dataset/dataset_utils.py`
+(`PointCloudFilter:99`, `PointCloudResampler:177`, `MinMaxScaler:271`) and
+the perturbation wrapper (`dataset/man_dataset.py:476-631`).  Everything
+here is numpy on the host; arrays leave this module with **fixed shapes**
+so the device computation jits once.
+
+Decalibration protocol (must match the reference exactly for comparable
+accuracy numbers — SURVEY.md §7 "hard parts"):
+  * train: a fresh uniform twist per item (max 20 deg / 0.5 m, magnitudes
+    themselves uniform);
+  * val/test: a persisted per-index twist table (csv of [N, 6]) generated
+    once, identical across runs (`man_dataset.py:500-545`);
+  * ``igt`` transforms the calibrated right cloud into the decalibrated
+    source; ground truth is ``inverse(igt)``.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from ..core.config import DataConfig
+from ..geometry import perturbations, se3
+from . import native
+
+import jax
+import jax.numpy as jnp
+
+
+def range_filter(points: np.ndarray, max_range: float,
+                 intensity: Optional[np.ndarray] = None):
+    """Drop points farther than `max_range` from the sensor
+    (`dataset_utils.py:174` __call__ path of PointCloudFilter)."""
+    keep = np.linalg.norm(points[:, :3], axis=1) < max_range
+    if intensity is not None:
+        return points[keep], intensity[keep]
+    return points[keep], None
+
+
+def resample(points: np.ndarray, num_points: int, rng: np.random.Generator,
+             intensity: Optional[np.ndarray] = None):
+    """Pad (random duplication) or random-subsample to a fixed count
+    (`dataset_utils.py:177-223` PointCloudResampler)."""
+    n = points.shape[0]
+    if n == 0:
+        points = np.zeros((1, points.shape[1]), points.dtype)
+        intensity = np.zeros((1,), np.float32) if intensity is not None else None
+        n = 1
+    if n <= num_points:
+        pad_idx = rng.choice(n, num_points - n, replace=True)
+        idx = np.concatenate([np.arange(n), pad_idx])
+    else:
+        idx = rng.choice(n, num_points, replace=False)
+    if intensity is not None:
+        return points[idx], intensity[idx]
+    return points[idx], None
+
+
+def minmax_scale(x: np.ndarray, max_value: float = 1.0) -> np.ndarray:
+    """Normalise intensities to [0, 1] (`dataset_utils.py:271` MinMaxScaler)."""
+    lo, hi = float(x.min(initial=0.0)), float(x.max(initial=max_value))
+    return (x - lo) / (hi - lo + 1e-12)
+
+
+def perturbation_table(path: str, length: int, cfg: DataConfig,
+                       seed: int = 0) -> np.ndarray:
+    """Load or create the deterministic eval twist table [length, 6].
+
+    Mirrors `__create_perturb_file` (`man_dataset.py:527-545`) but the
+    twists come from a fixed JAX PRNG key, so the table is reproducible
+    from the seed alone (the file is a cache, not the source of truth).
+    """
+    if path and os.path.exists(path):
+        table = np.loadtxt(path, dtype=np.float32, delimiter=',')
+        table = table.reshape(-1, 6)
+        if len(table) >= length:
+            return table[:length]
+    keys = jax.random.split(jax.random.PRNGKey(seed), length)
+    twists = jax.vmap(lambda k: perturbations.sample_twist(
+        k, cfg.max_rot_error, cfg.max_trans_error,
+        cfg.distribution, cfg.mag_randomly))(keys)
+    table = np.asarray(twists, dtype=np.float32)
+    if path:
+        os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        np.savetxt(path, table, delimiter=',')
+    return table
+
+
+def apply_decalibration(pcd_right: np.ndarray, twist: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decalibrate the (already left-frame-aligned) right cloud.
+
+    Returns (uncalibed_pcd, igt) — `man_dataset.py:606-630` semantics.
+    """
+    igt = np.asarray(se3.exp(jnp.asarray(twist)), dtype=np.float32)
+    pts = pcd_right @ igt[:3, :3].T + igt[:3, 3]
+    return pts.astype(np.float32), igt
+
+
+class PairDataset:
+    """Fixed-shape registration-pair dataset over a raw pair source.
+
+    A *source* provides `__len__` and `load_pair(index) -> dict` with
+    `pcd_left`, `pcd_right` ([Ni, 3], already extrinsic-aligned into the
+    left frame), optional intensities, and `extrinsic` [4, 4].  This class
+    adds the range filter, fixed-N resample, and the decalibration
+    protocol — the union of `TruckScenesDataset` + `TruckScenesPerturbation`.
+    """
+
+    def __init__(self, source, cfg: DataConfig, split: str,
+                 perturb_path: Optional[str] = None, seed: int = 0):
+        self.source = source
+        self.cfg = cfg
+        self.split = split
+        self.seed = seed
+        self.epoch = 0  # bump via set_epoch() for fresh train twists per epoch
+        if split == 'train':
+            self.table = None
+        else:
+            path = perturb_path or (os.path.join(cfg.path, f'perturbations_file_{split}.txt')
+                                    if cfg.path else '')
+            self.table = perturbation_table(path, len(source), cfg,
+                                            seed={'val': 1, 'test': 2}.get(split, 3))
+
+    def set_epoch(self, epoch: int) -> None:
+        """Fresh random train decalibrations each epoch (the reference draws a
+        new twist per item per epoch, `man_dataset.py:613-619`)."""
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.source)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        raw = self.source.load_pair(index)
+        rng = np.random.default_rng((self.seed, self.epoch, index))
+        out = {}
+        for side in ('left', 'right'):
+            pts = np.asarray(raw[f'pcd_{side}'], np.float32)
+            inten = raw.get(f'intensity_{side}')
+            if native.available():
+                # fused native filter+resample (cc/pointcloud.cc)
+                rec = pts[:, :3] if inten is None else np.column_stack(
+                    [pts[:, :3], np.asarray(inten, np.float32)])
+                seed = int(rng.integers(0, 2 ** 62))
+                pts, inten = native.filter_resample(
+                    np.ascontiguousarray(rec), self.cfg.max_range,
+                    self.cfg.pcd_min_samples, seed)
+            else:
+                pts = pts[:, :3]
+                pts, inten = range_filter(pts, self.cfg.max_range, inten)
+                pts, inten = resample(pts, self.cfg.pcd_min_samples, rng, inten)
+            out[f'pcd_{side}'] = pts
+            out[f'intensity_{side}'] = (minmax_scale(inten, self.cfg.max_intensity)
+                                        if inten is not None else
+                                        np.zeros(len(pts), np.float32))
+
+        if self.split == 'train':
+            key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                     self.epoch * len(self) + index)
+            twist = np.asarray(perturbations.sample_twist(
+                key, self.cfg.max_rot_error, self.cfg.max_trans_error,
+                self.cfg.distribution, self.cfg.mag_randomly))
+        else:
+            twist = self.table[index]
+        uncalibed, igt = apply_decalibration(out['pcd_right'], twist)
+        out['uncalibed_pcd'] = uncalibed
+        out['igt'] = igt
+        out['extrinsic'] = np.asarray(raw.get('extrinsic', np.eye(4)), np.float32)
+        return out
+
+
+def batch_iterator(dataset, batch_size: int, *, shuffle: bool = False,
+                   seed: int = 0, drop_last: bool = True,
+                   epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Host-side batcher: stacks fixed-shape items into [B, ...] arrays.
+
+    Replaces the torch DataLoader (`train_reg_v11.py:209-214`); the train
+    loop overlaps host loading with device compute via simple async
+    dispatch (JAX ops are async by default).
+    """
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng((seed, epoch)).shuffle(order)
+    end = n - (n % batch_size) if drop_last else n
+    for start in range(0, end, batch_size):
+        idxs = order[start:start + batch_size]
+        items = [dataset[int(i)] for i in idxs]
+        yield {k: np.stack([it[k] for it in items]) for k in items[0]}

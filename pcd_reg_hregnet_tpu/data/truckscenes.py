@@ -1,0 +1,147 @@
+"""MAN TruckScenes LiDAR-to-LiDAR pair source (clean-room table reader).
+
+Re-designs `/root/reference/dataset/man_dataset.py` (TruckScenesLoader:30,
+TruckScenesDataset:43, `lidar_to_lidar:108`, `get_extrinsic_matrix:421`,
+`load_lidar_point_cloud:345`) without the truckscenes devkit dependency:
+the devkit's nuScenes-style relational tables (scene / sample /
+sample_data / calibrated_sensor / ego_pose, JSON under
+``<path>/<version>/``) are read directly.
+
+Extrinsic chain (maps sensor-B points into the sensor-A frame, matching
+`get_extrinsic_matrix`):
+
+    T = inv(T_csA) @ inv(T_poseA) @ T_poseB @ T_csB
+
+where T_cs* are calibrated_sensor (sensor -> ego) and T_pose* ego_pose
+(ego -> global) transforms at each sensor's sweep timestamp.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from ..core.config import DataConfig
+from ..geometry.rotations import quaternion_to_matrix
+
+
+def _quat_to_mat(q) -> np.ndarray:
+    """(w, x, y, z) quaternion -> 3x3 rotation (pyquaternion convention)."""
+    return np.asarray(quaternion_to_matrix(np.asarray(q, np.float64)))
+
+
+def _pose_matrix(record: dict) -> np.ndarray:
+    T = np.eye(4)
+    T[:3, :3] = _quat_to_mat(record['rotation'])
+    T[:3, 3] = np.asarray(record['translation'])
+    return T
+
+
+def load_lidar_bin(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read a nuScenes/TruckScenes ``.pcd.bin``: float32 rows of
+    (x, y, z, intensity, ...).  Returns (points [N, 3], intensity [N])."""
+    raw = np.fromfile(path, dtype=np.float32)
+    for width in (5, 4, 6):
+        if raw.size % width == 0:
+            pts = raw.reshape(-1, width)
+            return pts[:, :3].copy(), pts[:, 3].copy()
+    raise ValueError(f'unrecognised point record width in {path}')
+
+
+class TruckScenesTables:
+    """Minimal loader for the devkit's relational JSON tables."""
+
+    TABLES = ('scene', 'sample', 'sample_data', 'calibrated_sensor',
+              'ego_pose', 'sensor')
+
+    def __init__(self, dataroot: str, version: str):
+        self.dataroot = dataroot
+        table_dir = os.path.join(dataroot, version)
+        self._by_token: Dict[str, Dict[str, dict]] = {}
+        self._rows: Dict[str, List[dict]] = {}
+        for name in self.TABLES:
+            path = os.path.join(table_dir, f'{name}.json')
+            rows = json.load(open(path)) if os.path.exists(path) else []
+            self._rows[name] = rows
+            self._by_token[name] = {r['token']: r for r in rows}
+
+    def get(self, table: str, token: str) -> dict:
+        return self._by_token[table][token]
+
+    def rows(self, table: str) -> List[dict]:
+        return self._rows[table]
+
+
+class TruckScenesPairSource:
+    """L2L registration-pair source over TruckScenes samples.
+
+    Walks every scene's sample chain (first_sample_token -> next), keeping
+    one pair per (keyframe) sample: the two configured lidar channels with
+    the right cloud pre-transformed into the left sensor frame — the same
+    item contract the reference's `lidar_to_lidar` produces.
+    """
+
+    def __init__(self, cfg: DataConfig, split: str = 'train'):
+        self.cfg = cfg
+        self.tables = TruckScenesTables(cfg.path, cfg.version)
+        self.samples = self._collect_samples(split)
+
+    def _collect_samples(self, split: str) -> List[dict]:
+        scenes = sorted(self.tables.rows('scene'), key=lambda s: s['name'])
+        if self.cfg.limscenes:
+            scenes = scenes[: self.cfg.limscenes]
+        # Official TruckScenes releases carry per-version splits via the
+        # dataroot (the reference mutates dataroot/version for the test
+        # split, `dataset/data_loader.py:9-12`); within one version we use
+        # all scenes for train/val/test of that version.
+        samples = []
+        for scene in scenes:
+            token = scene['first_sample_token']
+            while token:
+                sample = self.tables.get('sample', token)
+                samples.append(sample)
+                token = sample['next']
+        return samples
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def _sample_data_token(self, sample: dict, channel: str) -> str:
+        if 'data' in sample:
+            return sample['data'][channel]
+        # devkit-style denormalised tables: search sample_data rows
+        for row in self.tables.rows('sample_data'):
+            if row['sample_token'] == sample['token'] and row.get('channel') == channel:
+                return row['token']
+        raise KeyError(f'no sample_data for channel {channel}')
+
+    def extrinsic(self, token_a: str, token_b: str) -> np.ndarray:
+        sd_a = self.tables.get('sample_data', token_a)
+        sd_b = self.tables.get('sample_data', token_b)
+        cs_a = _pose_matrix(self.tables.get('calibrated_sensor', sd_a['calibrated_sensor_token']))
+        cs_b = _pose_matrix(self.tables.get('calibrated_sensor', sd_b['calibrated_sensor_token']))
+        pose_a = _pose_matrix(self.tables.get('ego_pose', sd_a['ego_pose_token']))
+        pose_b = _pose_matrix(self.tables.get('ego_pose', sd_b['ego_pose_token']))
+        return np.linalg.inv(cs_a) @ np.linalg.inv(pose_a) @ pose_b @ cs_b
+
+    def load_pair(self, index: int) -> Dict[str, np.ndarray]:
+        sample = self.samples[index]
+        ch_a, ch_b = self.cfg.lidar_tokens
+        tok_a = self._sample_data_token(sample, ch_a)
+        tok_b = self._sample_data_token(sample, ch_b)
+        extrinsic = self.extrinsic(tok_a, tok_b).astype(np.float32)
+
+        def load(token, transform):
+            sd = self.tables.get('sample_data', token)
+            pts, inten = load_lidar_bin(os.path.join(self.cfg.path, sd['filename']))
+            if transform:
+                pts = pts @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+            return pts.astype(np.float32), inten
+
+        left, int_l = load(tok_a, transform=False)
+        right, int_r = load(tok_b, transform=True)
+        return dict(pcd_left=left, pcd_right=right,
+                    intensity_left=int_l, intensity_right=int_r,
+                    extrinsic=extrinsic)

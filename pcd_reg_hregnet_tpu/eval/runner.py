@@ -1,0 +1,90 @@
+"""Test-split evaluation runner: network + multi-layer metrics + ICP.
+
+Re-designs the reference's evaluation scripts:
+  * `test/test_v3.py:72-145` (the active one): model over the test split,
+    3-layer `MultiLayerCalibEval`, JSON results dump;
+  * `test/test_v4.py:140-173`: + ICP refinement as a 4th layer (here the
+    on-device solvers from `eval/icp.py`, not CPU Open3D);
+  * `test/test.py` / `test_v2.py` are the same flow with fewer layers.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..data import batch_iterator, load_dataset
+from ..geometry import se3
+from ..parallel.mesh import make_mesh, shard_batch
+from ..train.loop import TrainState
+from ..train.objective import RegistrationObjective
+from .calib_eval import MultiLayerCalibEval
+from .icp import estimate_normals, icp_point_to_plane, icp_point_to_point
+
+
+def evaluate(cfg: Config, state: TrainState, *, split: str = 'test',
+             icp: Optional[str] = None, icp_threshold: float = 1.0,
+             icp_iters: int = 30, results_path: Optional[str] = None,
+             dataset=None, mesh=None) -> Dict:
+    """Run the model over a split; returns the combined results dict.
+
+    `icp` in {None, 'point_to_point', 'point_to_plane'} appends the
+    refined pose as an extra evaluator layer (test_v4 semantics).
+    """
+    ds = dataset if dataset is not None else load_dataset(cfg.data, split)
+    import math
+    bs = cfg.data.batch_size
+    if mesh is None:
+        mesh = make_mesh(math.gcd(len(jax.devices()), bs))
+    objective = RegistrationObjective(cfg)
+
+    num_layers = 3 + (1 if icp else 0)
+    evaluator = MultiLayerCalibEval(num_layers=num_layers)
+
+    @jax.jit
+    def forward(params, batch_stats, batch):
+        _, _, ret = objective.apply({'params': params, 'batch_stats': batch_stats},
+                                    batch, train=False)
+        poses = [se3.pack(R, t) for R, t in
+                 zip(ret['rotation'], ret['translation'])]
+        if icp == 'point_to_point':
+            poses.append(icp_point_to_point(batch['uncalibed_pcd'],
+                                            batch['pcd_left'], poses[-1],
+                                            icp_threshold, icp_iters))
+        elif icp == 'point_to_plane':
+            normals = estimate_normals(batch['pcd_left'])
+            poses.append(icp_point_to_plane(batch['uncalibed_pcd'],
+                                            batch['pcd_left'], normals,
+                                            poses[-1], icp_threshold, icp_iters))
+        return poses
+
+    for batch in batch_iterator(ds, bs, shuffle=False, drop_last=False):
+        sb = shard_batch(batch, mesh) if batch['igt'].shape[0] % mesh.devices.size == 0 else batch
+        poses = forward(state.params, state.batch_stats,
+                        jax.tree.map(jnp.asarray, sb))
+        for layer, pred in enumerate(poses):
+            evaluator.add_batch(layer, jnp.asarray(batch['igt']), pred)
+
+    metadata = {
+        'dataset': cfg.data.dataset + cfg.data.version,
+        'model': cfg.model.name,
+        'translation': cfg.data.max_trans_error,
+        'rotation': cfg.data.max_rot_error,
+        'distribution': cfg.data.distribution,
+        'icp': icp or 'none',
+    }
+    if results_path:
+        os.makedirs(os.path.dirname(results_path) or '.', exist_ok=True)
+        combined = evaluator.save_all_results(results_path, metadata)
+    else:
+        combined = {f'layer_{i}': e.get_results()
+                    for i, e in evaluator.evaluators.items()}
+        combined.update(metadata)
+    # headline summary of the finest network layer (+ ICP layer if present)
+    combined['summary'] = evaluator.evaluators[num_layers - 1].summary()
+    combined['summary_network'] = evaluator.evaluators[2].summary()
+    return combined

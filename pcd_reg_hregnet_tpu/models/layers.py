@@ -83,6 +83,11 @@ class KeypointDetector(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features=None, weights=None, train: bool = False):
+        if xyz.shape[1] < self.nsample:
+            raise ValueError(
+                f'KeypointDetector(nsample={self.nsample}) needs at least '
+                f'{self.nsample} input points, got {xyz.shape[1]}; reduce the '
+                f'level nsample (ModelConfig.levels) or raise pcd_min_samples')
         if self.use_fps:
             if weights is None:
                 idx = fps(xyz, self.nsample)

@@ -128,6 +128,11 @@ class PointTransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, feat, train: bool = False):
+        if xyz.shape[1] % min(self.patch_size, xyz.shape[1]) != 0:
+            raise ValueError(
+                f'PointTransformerEncoder patch_size={self.patch_size} must '
+                f'divide the point count {xyz.shape[1]} '
+                f'(ModelConfig.ptv3_patch_sizes vs levels[i].nsample)')
         order, inverse = serialization.serialize(xyz, self.grid_size, 'z')
         x = jnp.take_along_axis(feat, order[..., None], axis=1)
 

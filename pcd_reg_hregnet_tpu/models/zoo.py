@@ -44,9 +44,14 @@ def model_config(name: str, **overrides) -> ModelConfig:
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 
-def build(name: str, axis_name: Optional[str] = None, **overrides) -> RegistrationModel:
-    """Build a RegistrationModel for a named preset."""
-    return RegistrationModel(model_config(name, **overrides), axis_name=axis_name)
+def build(name: str, axis_name: Optional[str] = None, **overrides):
+    """Build the model for a named preset (Model_V5 uses the attention
+    pipeline; everything else the unified RegistrationModel)."""
+    cfg = model_config(name, **overrides)
+    if cfg.backbone == 'attention':
+        from .attention import AttentionRegistrationModel
+        return AttentionRegistrationModel(cfg, axis_name=axis_name)
+    return RegistrationModel(cfg, axis_name=axis_name)
 
 
 def available() -> list[str]:

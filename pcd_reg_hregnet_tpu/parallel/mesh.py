@@ -1,0 +1,56 @@
+"""Device mesh and sharding helpers — the distributed layer.
+
+The reference is strictly single-GPU (SURVEY.md §2.4: no DDP/NCCL/MPI
+anywhere); this module is new, designed for TPU slices:
+
+* a 1-D `data` mesh for batch-sharded registration-pair training (the
+  natural axis: B pairs x 8096 points fits per chip);
+* state is replicated, batches sharded on axis 0; the train step is
+  compiled with `jax.jit` + `NamedSharding` (GSPMD), so gradient
+  reductions and global BatchNorm statistics become XLA collectives over
+  ICI automatically — no hand-written pmap/allreduce;
+* helpers are backend-agnostic: tests exercise them on an 8-device CPU
+  mesh (`tests/conftest.py`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data_parallel: int = -1, axis_name: str = 'data',
+              devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first `data_parallel` devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data_parallel in (-1, 0):
+        data_parallel = len(devices)
+    return Mesh(np.asarray(devices[:data_parallel]), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = 'data') -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = 'data'):
+    """Place a host batch dict onto the mesh, sharded on axis 0."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def pad_to_multiple(batch, multiple: int):
+    """Pad the batch axis so it divides the mesh size (repeat last items)."""
+    def pad(x):
+        b = x.shape[0]
+        rem = (-b) % multiple
+        if rem == 0:
+            return x
+        return np.concatenate([x, x[:rem]], axis=0)
+    return jax.tree.map(pad, batch)

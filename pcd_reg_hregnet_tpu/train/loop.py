@@ -1,0 +1,207 @@
+"""The single configurable train loop (replaces 15 reference scripts).
+
+Canonical skeleton: `/root/reference/train/train_reg_v11.py:203-485`
+(argparse -> Config -> data -> net + losses -> epoch loop -> val ->
+per-metric best-checkpoint saving).  Here the step is one donated jitted
+function compiled under a device mesh: batches are sharded on the `data`
+axis, state is replicated, and XLA inserts the gradient / BatchNorm-stat
+collectives (GSPMD) — the data parallelism the single-GPU reference lacks.
+"""
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..core.config import Config
+from ..data import batch_iterator, load_dataset
+from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from ..utils.logging import MetricLogger
+from .objective import RegistrationObjective
+from .optimizer import make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+BEST_METRICS = ('val_loss', 'rre', 'rte', 'rot_err', 'trans_err')  # train_reg_v11.py:471-480
+
+
+def create_state(cfg: Config, objective: RegistrationObjective,
+                 sample_batch: Dict[str, np.ndarray], steps_per_epoch: int,
+                 seed: Optional[int] = None) -> tuple[TrainState, optax.GradientTransformation]:
+    key = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)
+    variables = objective.init(key, jax.tree.map(jnp.asarray, sample_batch),
+                               train=False)
+    tx = make_optimizer(cfg.train, steps_per_epoch)
+    params = variables['params']
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=variables.get('batch_stats', {}),
+                       opt_state=tx.init(params))
+    return state, tx
+
+
+def make_train_step(objective: RegistrationObjective,
+                    tx: optax.GradientTransformation, mesh):
+    """Jitted, state-donating train step with batch sharded over the mesh."""
+
+    def step_fn(state: TrainState, batch):
+        def loss_fn(params):
+            (loss, metrics, _), mutated = objective.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch, train=True, mutable=['batch_stats'])
+            return loss, (metrics, mutated.get('batch_stats', state.batch_stats))
+
+        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, metrics
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(step_fn, donate_argnums=(0,),
+                   in_shardings=(rep, bsh), out_shardings=(rep, rep))
+
+
+def make_eval_step(objective: RegistrationObjective, mesh):
+    def step_fn(state: TrainState, batch):
+        _, metrics, ret = objective.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            batch, train=False)
+        return metrics, (ret['rotation'][-1], ret['translation'][-1])
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(step_fn, in_shardings=(rep, bsh), out_shardings=(rep, rep))
+
+
+def run_epoch(dataset, step, state, mesh, batch_size, *, train: bool,
+              shuffle: bool, seed: int, epoch: int, logger: Optional[MetricLogger] = None):
+    """One pass over the dataset; returns (state, mean metrics)."""
+    if hasattr(dataset, 'set_epoch'):
+        dataset.set_epoch(epoch)
+    sums, count = {}, 0
+    for batch in batch_iterator(dataset, batch_size, shuffle=shuffle,
+                                seed=seed, epoch=epoch):
+        batch = shard_batch(batch, mesh)
+        if train:
+            state, metrics = step(state, batch)
+        else:
+            metrics, _ = step(state, batch)
+        count += 1
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + np.asarray(v)
+    means = {k: float(np.mean(v) / count) for k, v in sums.items()}
+    return state, means
+
+
+def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
+        datasets=None) -> tuple[TrainState, Dict[str, float]]:
+    """Full training run; returns final state + last val metrics.
+
+    `datasets` can inject (train_ds, val_ds) for tests; `max_steps` caps
+    total optimiser steps (smoke runs).
+    """
+    train_ds = datasets[0] if datasets else load_dataset(cfg.data, 'train')
+    val_ds = datasets[1] if datasets else load_dataset(cfg.data, 'val')
+
+    bs = cfg.data.batch_size
+    dp = cfg.mesh.data_parallel
+    if dp in (-1, 0):
+        # largest device count that divides the batch (sharding constraint)
+        import math
+        dp = math.gcd(len(jax.devices()), bs)
+    mesh = make_mesh(dp, cfg.mesh.data_axis)
+    objective = RegistrationObjective(cfg)
+    steps_per_epoch = max(1, len(train_ds) // bs)
+
+    sample = next(batch_iterator(train_ds, bs))
+    state, tx = create_state(cfg, objective, sample, steps_per_epoch)
+    train_step = make_train_step(objective, tx, mesh)
+    eval_step = make_eval_step(objective, mesh)
+
+    logger = MetricLogger(log_dir, cfg)
+    best = {m: np.inf for m in BEST_METRICS}
+    val_metrics: Dict[str, float] = {}
+    total_steps = 0
+
+    for epoch in range(cfg.train.epochs):
+        t0 = time.time()
+        state, train_metrics = run_epoch(train_ds, train_step, state, mesh, bs,
+                                         train=True, shuffle=True,
+                                         seed=cfg.train.seed, epoch=epoch)
+        total_steps += steps_per_epoch
+
+        if (epoch + 1) % cfg.train.val_every == 0:
+            _, val_metrics = run_epoch(val_ds, eval_step, state, mesh, bs,
+                                       train=False, shuffle=False,
+                                       seed=cfg.train.seed, epoch=epoch)
+        logger.log_epoch(epoch, train_metrics, val_metrics,
+                         seconds=time.time() - t0)
+
+        # per-best checkpointing (train_reg_v11.py:468-480)
+        tracked = {
+            'val_loss': val_metrics.get('loss', np.inf),
+            'rre': val_metrics.get('rre', np.inf),
+            'rte': val_metrics.get('rte', np.inf),
+            'rot_err': np.mean([val_metrics.get(f'rot_err_{a}', np.inf)
+                                for a in 'xyz']),
+            'trans_err': np.mean([val_metrics.get(f'trans_err_{a}', np.inf)
+                                  for a in 'xyz']),
+        }
+        for name, value in tracked.items():
+            if value < best[name]:
+                best[name] = value
+                save_checkpoint(os.path.join(log_dir, cfg.train.ckpt_dir),
+                                f'best_{name}', state, cfg, epoch)
+
+        if max_steps is not None and total_steps >= max_steps:
+            break
+
+    logger.close()
+    return state, val_metrics
+
+
+def save_checkpoint(ckpt_dir: str, name: str, state: TrainState,
+                    cfg: Config, epoch: int) -> str:
+    """Orbax checkpoint with optimizer + schedule step + epoch (the
+    reference saves the same dict, `train_reg_v11.py:476-480`)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.tree.map(np.asarray, {
+        'params': state.params, 'batch_stats': state.batch_stats,
+        'opt_state': state.opt_state, 'step': state.step}), force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, 'meta.json'), 'w') as f:
+        import json
+        json.dump({'epoch': epoch, 'config': cfg.to_json()}, f)
+    return path
+
+
+def restore_checkpoint(path: str, state: TrainState) -> TrainState:
+    """Resume-from-checkpoint (absent in the reference — SURVEY.md §5.3/5.4
+    notes optimizer state is saved but never loaded; here it round-trips)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.tree.map(np.asarray, {
+        'params': state.params, 'batch_stats': state.batch_stats,
+        'opt_state': state.opt_state, 'step': state.step})
+    restored = ckptr.restore(os.path.abspath(path), target)
+    return state.replace(params=restored['params'],
+                         batch_stats=restored['batch_stats'],
+                         opt_state=restored['opt_state'],
+                         step=jnp.asarray(restored['step']))

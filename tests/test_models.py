@@ -96,3 +96,26 @@ class TestVariants:
         leaves = jax.tree.leaves(g)
         assert all(jnp.all(jnp.isfinite(l)) for l in leaves)
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+class TestAttentionModel:
+    def test_v5_forward(self):
+        import dataclasses
+        from pcd_reg_hregnet_tpu.models.attention import AttentionRegistrationModel
+        cfg = dataclasses.replace(model_config('model_v5'), levels=SMALL_LEVELS)
+        model = AttentionRegistrationModel(cfg)
+        src, dst = make_inputs(n=256, batch=2)
+        variables = model.init(jax.random.PRNGKey(0), src, dst, train=False)
+        out = model.apply(variables, src, dst, train=False)
+        assert len(out['rotation']) == 3
+        assert out['rotation'][2].shape == (2, 3, 3)
+        for k in ('mi_weights', 'mi_feats', 'src_xyz_2_trans', 'dst_xyz_2'):
+            assert k in out
+        np.testing.assert_allclose(np.asarray(jnp.linalg.det(out['rotation'][2])),
+                                   np.ones(2), atol=1e-3)
+
+    def test_v5_via_zoo(self):
+        import dataclasses
+        from pcd_reg_hregnet_tpu.models import build
+        m = build('model_v5', levels=SMALL_LEVELS)
+        assert type(m).__name__ == 'AttentionRegistrationModel'

@@ -1,0 +1,151 @@
+"""Tests for the train loop, objective, checkpointing, eval, and ICP."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcd_reg_hregnet_tpu.core.config import DataConfig, LevelConfig
+from pcd_reg_hregnet_tpu.data import batch_iterator, load_dataset
+from pcd_reg_hregnet_tpu.eval import CalibEval, MultiLayerCalibEval, refine
+from pcd_reg_hregnet_tpu.geometry import perturbations, se3, so3
+from pcd_reg_hregnet_tpu.parallel.mesh import make_mesh, shard_batch
+from pcd_reg_hregnet_tpu.train import (RegistrationObjective, create_state,
+                                       experiment, make_eval_step,
+                                       make_train_step, restore_checkpoint,
+                                       save_checkpoint)
+
+SMALL_LEVELS = (LevelConfig(64, 16, (16, 16, 32), 32),
+                LevelConfig(32, 8, (32, 32, 64), 64),
+                LevelConfig(16, 8, (64, 64, 128), 128))
+
+
+def small_experiment(name, **loss_overrides):
+    cfg = experiment(name)
+    model_over = dict(levels=SMALL_LEVELS)
+    if cfg.model.backbone == 'ptv3':
+        model_over.update(ptv3_patch_sizes=(16, 16, 16), ptv3_depths=(1,),
+                          ptv3_num_heads=(2,))
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, **model_over),
+        data=dataclasses.replace(cfg.data, dataset='synthetic',
+                                 pcd_min_samples=128, batch_size=2),
+        train=dataclasses.replace(cfg.train, lr=1e-3, schedule='constant'),
+        loss=dataclasses.replace(cfg.loss, **loss_overrides),
+    )
+
+
+def make_batch(cfg):
+    ds = load_dataset(cfg.data, 'train', length=2, points_per_cloud=256)
+    return ds, next(batch_iterator(ds, cfg.data.batch_size))
+
+
+class TestObjectiveAndStep:
+    @pytest.mark.parametrize('name', ['reg_v0', 'reg_v6', 'reg_v9'])
+    def test_train_step_decreases_loss(self, name):
+        cfg = small_experiment(name)
+        ds, batch = make_batch(cfg)
+        mesh = make_mesh(2)
+        obj = RegistrationObjective(cfg)
+        state, tx = create_state(cfg, obj, batch, 1)
+        step = make_train_step(obj, tx, mesh)
+        sb = shard_batch(batch, mesh)
+        state, m0 = step(state, sb)
+        first = float(m0['loss'])  # state is donated: read metrics, not state
+        for _ in range(12):
+            state, m = step(state, sb)
+        assert np.isfinite(float(m['loss']))
+        assert float(m['loss']) < first
+
+    def test_eval_step_runs(self):
+        cfg = small_experiment('reg_v0')
+        ds, batch = make_batch(cfg)
+        mesh = make_mesh(2)
+        obj = RegistrationObjective(cfg)
+        state, tx = create_state(cfg, obj, batch, 1)
+        estep = make_eval_step(obj, mesh)
+        metrics, (R, t) = estep(state, shard_batch(batch, mesh))
+        assert R.shape == (2, 3, 3)
+        assert np.isfinite(float(metrics['loss']))
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        cfg = small_experiment('reg_v0')
+        ds, batch = make_batch(cfg)
+        obj = RegistrationObjective(cfg)
+        state, tx = create_state(cfg, obj, batch, 1)
+        path = save_checkpoint(str(tmp_path), 'best_test', state, cfg, epoch=3)
+        # perturb and restore
+        bad = state.replace(params=jax.tree.map(lambda x: x * 0, state.params))
+        restored = restore_checkpoint(path, bad)
+        orig = jax.tree.leaves(state.params)
+        back = jax.tree.leaves(restored.params)
+        assert all(np.allclose(a, b) for a, b in zip(orig, back))
+
+
+class TestCalibEval:
+    def test_perfect_prediction_zero_error(self):
+        igt = perturbations.sample_igt(jax.random.PRNGKey(0), batch=4)
+        ev = CalibEval()
+        ev.add_batch(igt, se3.inverse(igt))
+        r, t, g = ev.get_stats()
+        assert np.abs(r).max() < 1e-3 and np.abs(t).max() < 1e-5
+        s = ev.summary()
+        assert s['rot_mae_deg'] < 1e-3 and s['rte_m'] < 1e-4
+
+    def test_known_error_magnitude(self):
+        igt = jnp.eye(4)[None]
+        pred = np.eye(4)
+        pred[:3, 3] = [1.0, 0, 0]
+        ev = CalibEval()
+        ev.add_batch(igt, jnp.asarray(pred)[None])
+        _, t, _ = ev.get_stats()
+        np.testing.assert_allclose(t, [1.0, 0, 0], atol=1e-6)
+
+    def test_recall_thresholds(self):
+        igt = jnp.eye(4)[None]
+        ev = CalibEval(translation_threshold=0.5, rotation_threshold=1.0)
+        ev.add_batch(igt, jnp.eye(4)[None])           # success
+        bad = np.eye(4); bad[:3, 3] = [9, 9, 9]
+        ev.add_batch(igt, jnp.asarray(bad)[None])     # failure
+        assert ev.compute_recall() == 0.5
+
+    def test_multilayer_save(self, tmp_path):
+        igt = perturbations.sample_igt(jax.random.PRNGKey(1), batch=2)
+        ml = MultiLayerCalibEval(num_layers=2)
+        for layer in range(2):
+            ml.add_batch(layer, igt, se3.inverse(igt))
+        out = ml.save_all_results(str(tmp_path / 'results.json'),
+                                  metadata={'dataset': 'synthetic'})
+        assert 'layer_0' in out and 'layer_1' in out and out['dataset'] == 'synthetic'
+
+
+class TestICP:
+    def _pair(self, key, n=256):
+        src = jax.random.uniform(key, (2, n, 3)) * 20
+        igt = perturbations.sample_igt(jax.random.fold_in(key, 1),
+                                       max_deg=5.0, max_tran=0.2, batch=2)
+        return se3.transform(igt, src), src, igt
+
+    def test_point_to_point_converges(self):
+        moved, target, igt = self._pair(jax.random.PRNGKey(2))
+        T = refine(moved, target, jnp.broadcast_to(jnp.eye(4), (2, 4, 4)),
+                   method='point_to_point', threshold=2.0, max_iters=50)
+        err = T @ igt  # perfect solve -> identity
+        ang = so3.geodesic_distance(err[:, :3, :3], jnp.broadcast_to(jnp.eye(3), (2, 3, 3)))
+        assert float(jnp.rad2deg(ang).max()) < 1.0
+        assert float(jnp.linalg.norm(err[:, :3, 3], axis=-1).max()) < 0.05
+
+    def test_point_to_plane_converges(self):
+        moved, target, igt = self._pair(jax.random.PRNGKey(3))
+        T = refine(moved, target, jnp.broadcast_to(jnp.eye(4), (2, 4, 4)),
+                   method='point_to_plane', threshold=2.0, max_iters=50)
+        err = T @ igt
+        ang = so3.geodesic_distance(err[:, :3, :3], jnp.broadcast_to(jnp.eye(3), (2, 3, 3)))
+        assert float(jnp.rad2deg(ang).max()) < 1.0
+
+    def test_bad_method(self):
+        with pytest.raises(ValueError):
+            refine(jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)), jnp.eye(4)[None],
+                   method='nope')
