@@ -91,3 +91,23 @@ def inverse(T: jnp.ndarray) -> jnp.ndarray:
 def compose(Ta: jnp.ndarray, Tb: jnp.ndarray) -> jnp.ndarray:
     """Ta @ Tb (apply Tb first, then Ta)."""
     return Ta @ Tb
+
+
+def adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint of T as a [..., 6, 6] matrix acting on twists [w, v]:
+    Ad(T) = [[R, 0], [ [t]x R, R ]]."""
+    R, t = unpack(T)
+    tx = so3.hat(t)
+    top = jnp.concatenate([R, jnp.zeros_like(R)], axis=-1)
+    bot = jnp.concatenate([tx @ R, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def ad(x: jnp.ndarray) -> jnp.ndarray:
+    """Little adjoint of a twist [..., 6] = [w, v]:
+    ad(x) = [[ [w]x, 0 ], [ [v]x, [w]x ]]."""
+    w, v = x[..., :3], x[..., 3:]
+    wx, vx = so3.hat(w), so3.hat(v)
+    top = jnp.concatenate([wx, jnp.zeros_like(wx)], axis=-1)
+    bot = jnp.concatenate([vx, wx], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

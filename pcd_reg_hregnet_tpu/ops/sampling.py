@@ -27,6 +27,18 @@ import jax.numpy as jnp
 _INIT_DIST = 1e10
 
 
+def _use_pallas() -> bool:
+    """Pallas kernel on TPU backends; XLA fori_loop elsewhere (CPU tests,
+    interpret-mode debugging).  Override with PCD_REG_FPS_IMPL=xla|pallas."""
+    import os
+    impl = os.environ.get('PCD_REG_FPS_IMPL', 'auto')
+    if impl == 'xla':
+        return False
+    if impl == 'pallas':
+        return True
+    return jax.default_backend() not in ('cpu',)
+
+
 @partial(jax.jit, static_argnames=('nsample',))
 def fps(xyz: jnp.ndarray, nsample: int) -> jnp.ndarray:
     """Farthest point sampling.
@@ -37,6 +49,9 @@ def fps(xyz: jnp.ndarray, nsample: int) -> jnp.ndarray:
     Returns:
         [B, nsample] int32 indices into N.
     """
+    if _use_pallas():
+        from .pallas.fps import fps_pallas
+        return fps_pallas(xyz, nsample)
     return _fps_impl(xyz, None, nsample)
 
 
@@ -50,6 +65,9 @@ def weighted_fps(xyz: jnp.ndarray, weights: jnp.ndarray, nsample: int) -> jnp.nd
     Returns:
         [B, nsample] int32 indices.
     """
+    if _use_pallas():
+        from .pallas.fps import weighted_fps_pallas
+        return weighted_fps_pallas(xyz, weights, nsample)
     return _fps_impl(xyz, weights, nsample)
 
 

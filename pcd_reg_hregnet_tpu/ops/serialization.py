@@ -76,6 +76,9 @@ def serialize(xyz: jnp.ndarray, grid_size: float = 0.01, order: str = 'z'):
         (order_idx [B, N] int32, inverse_idx [B, N] int32) with
         ``sorted = x[order_idx]`` and ``x = sorted[inverse_idx]``.
     """
+    if order in ('hilbert', 'hilbert-trans'):
+        from .hilbert import serialize_hilbert
+        return serialize_hilbert(xyz, grid_size, order)
     g = grid_coords(xyz, grid_size)
     if order == 'z-trans':
         g = g[..., ::-1]
