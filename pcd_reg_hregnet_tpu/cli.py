@@ -65,6 +65,11 @@ def main(argv=None) -> int:
     p_train = sub.add_parser('train', help='train a registration experiment')
     _common(p_train)
     p_train.add_argument('--max-steps', type=int, default=None)
+    p_train.add_argument('--pretrain-feats', default=None,
+                         help='feature-pretrain checkpoint to warm-start the '
+                              'backbone (reference --pretrain_backbone_feats)')
+    p_train.add_argument('--resume', default=None,
+                         help='full checkpoint (params+optimizer) to resume from')
 
     p_eval = sub.add_parser('eval', help='evaluate on the test split')
     _common(p_eval)
@@ -86,7 +91,8 @@ def main(argv=None) -> int:
     if args.cmd == 'train':
         from .train import fit
         cfg = _build_config(args)
-        _, val = fit(cfg, log_dir=args.log_dir, max_steps=args.max_steps)
+        _, val = fit(cfg, log_dir=args.log_dir, max_steps=args.max_steps,
+                     pretrain_feats=args.pretrain_feats, resume=args.resume)
         print({k: round(v, 4) for k, v in val.items()})
         return 0
 
@@ -108,8 +114,18 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == 'pretrain-feats':
-        print('pretrain-feats: use pcd_reg_hregnet_tpu.train.feats API '
-              '(script wiring lands with the full pretrain recipe)')
+        import dataclasses as _dc
+        from .train.feats_loop import fit_feats
+        cfg = _build_config(args)
+        # reference pretrain recipe: Adam 1e-3, StepLR(10, 0.5)
+        # (`train/train_feats.py:184-185`)
+        cfg = _dc.replace(cfg, train=_dc.replace(
+            cfg.train, optimizer='adam', schedule='step', lr=1e-3,
+            freeze_detector=(args.stage == 'descriptor')))
+        _, metrics = fit_feats(cfg, stage=args.stage,
+                               pretrain_detector=args.pretrain_detector,
+                               log_dir=args.log_dir)
+        print({k: round(v, 4) for k, v in metrics.items()})
         return 0
 
     if args.cmd == 'bench':

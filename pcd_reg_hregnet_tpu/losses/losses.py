@@ -104,7 +104,13 @@ def rotation_errors(pred_R, gt_R):
     R_err_deg = jnp.mean(jnp.abs(jnp.rad2deg(eul)), axis=0)  # [3]
     trace = R_rel[..., 0, 0] + R_rel[..., 1, 1] + R_rel[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    geodesic = jnp.rad2deg(jnp.arccos(cos_t))                # [B]
+    # atan2 form: well-conditioned near the identity where arccos loses
+    # ~sqrt(eps) precision (float32 arccos(1-eps) jitters by ~0.03 deg).
+    skew = jnp.stack([R_rel[..., 2, 1] - R_rel[..., 1, 2],
+                      R_rel[..., 0, 2] - R_rel[..., 2, 0],
+                      R_rel[..., 1, 0] - R_rel[..., 0, 1]], axis=-1)
+    sin_t = 0.5 * jnp.linalg.norm(skew, axis=-1)
+    geodesic = jnp.rad2deg(jnp.arctan2(sin_t, cos_t))        # [B]
     return R_err_deg, geodesic
 
 

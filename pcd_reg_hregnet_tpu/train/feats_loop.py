@@ -1,0 +1,72 @@
+"""Feature-pretraining loop: detector stage, descriptor stage.
+
+Drives `train/feats.py` objectives the way the reference's
+`train_feats.py:153-290` + shell scripts do:
+
+  stage 'detector':   prob-chamfer only (fresh backbone);
+  stage 'descriptor': + matching loss, detector frozen, warm-started from
+                      the detector stage via `transplant_backbone`-style
+                      subtree copy (`--pretrain_detector`).
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..core.config import Config
+from ..data import batch_iterator, load_dataset
+from ..parallel.mesh import make_mesh, shard_batch
+from ..utils.logging import MetricLogger
+from .feats import FeatsObjective, create_feats_state, make_feats_train_step
+from .loop import TrainState, restore_params, save_checkpoint
+
+
+def fit_feats(cfg: Config, *, stage: str = 'detector',
+              pretrain_detector: Optional[str] = None,
+              log_dir: str = 'runs_feats', max_steps: Optional[int] = None,
+              datasets=None) -> tuple[TrainState, Dict[str, float]]:
+    """Train the feature pyramid; returns (state, last metrics)."""
+    assert stage in ('detector', 'descriptor')
+    train_ds = datasets[0] if datasets else load_dataset(cfg.data, 'train')
+
+    bs = cfg.data.batch_size
+    mesh = make_mesh(math.gcd(len(jax.devices()), bs), cfg.mesh.data_axis)
+    objective = FeatsObjective(cfg, train_desc=(stage == 'descriptor'))
+    steps_per_epoch = max(1, len(train_ds) // bs)
+
+    sample = next(batch_iterator(train_ds, bs))
+    state, tx = create_feats_state(cfg, objective, sample, steps_per_epoch)
+    if pretrain_detector:
+        # params-only: the detector stage used a different freeze config, so
+        # its opt_state tree does not match this stage's optimizer
+        state = restore_params(pretrain_detector, state)
+    step = make_feats_train_step(objective, tx, mesh)
+
+    logger = MetricLogger(log_dir, cfg)
+    metrics: Dict[str, float] = {}
+    total = 0
+    for epoch in range(cfg.train.epochs):
+        t0 = time.time()
+        if hasattr(train_ds, 'set_epoch'):
+            train_ds.set_epoch(epoch)
+        sums, count = {}, 0
+        for batch in batch_iterator(train_ds, bs, shuffle=True,
+                                    seed=cfg.train.seed, epoch=epoch):
+            state, m = step(state, shard_batch(batch, mesh))
+            count += 1
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + np.asarray(v)
+        metrics = {k: float(np.mean(v) / count) for k, v in sums.items()}
+        logger.log_epoch(epoch, metrics, {}, seconds=time.time() - t0)
+        total += count
+        save_checkpoint(os.path.join(log_dir, cfg.train.ckpt_dir),
+                        f'feats_{stage}', state, cfg, epoch)
+        if max_steps is not None and total >= max_steps:
+            break
+    logger.close()
+    return state, metrics

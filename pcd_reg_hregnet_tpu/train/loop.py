@@ -109,11 +109,16 @@ def run_epoch(dataset, step, state, mesh, batch_size, *, train: bool,
 
 
 def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
-        datasets=None) -> tuple[TrainState, Dict[str, float]]:
+        datasets=None, pretrain_feats: Optional[str] = None,
+        resume: Optional[str] = None) -> tuple[TrainState, Dict[str, float]]:
     """Full training run; returns final state + last val metrics.
 
     `datasets` can inject (train_ds, val_ds) for tests; `max_steps` caps
-    total optimiser steps (smoke runs).
+    total optimiser steps (smoke runs); `pretrain_feats` warm-starts the
+    backbone from a feature-pretraining checkpoint (the reference's
+    `--pretrain_backbone_feats`, `train_reg_v11.py:64-65,230`); `resume`
+    restores a full checkpoint including optimizer state (absent in the
+    reference — SURVEY.md §5.3).
     """
     train_ds = datasets[0] if datasets else load_dataset(cfg.data, 'train')
     val_ds = datasets[1] if datasets else load_dataset(cfg.data, 'val')
@@ -130,6 +135,18 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
 
     sample = next(batch_iterator(train_ds, bs))
     state, tx = create_state(cfg, objective, sample, steps_per_epoch)
+    if pretrain_feats:
+        import orbax.checkpoint as ocp
+        from .feats import transplant_backbone
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(pretrain_feats))
+        new_params = transplant_backbone(restored['params'], state.params)
+        new_bs = state.batch_stats
+        if restored.get('batch_stats') and new_bs:
+            new_bs = transplant_backbone(restored['batch_stats'], new_bs)
+        state = state.replace(params=new_params, batch_stats=new_bs)
+    if resume:
+        state = restore_checkpoint(resume, state)
     train_step = make_train_step(objective, tx, mesh)
     eval_step = make_eval_step(objective, mesh)
 
@@ -190,6 +207,19 @@ def save_checkpoint(ckpt_dir: str, name: str, state: TrainState,
         import json
         json.dump({'epoch': epoch, 'config': cfg.to_json()}, f)
     return path
+
+
+def restore_params(path: str, state: TrainState) -> TrainState:
+    """Warm-start: load params (+batch_stats) only, keeping the fresh
+    optimizer state — the reference's `load_state_dict(strict=False)`
+    (`train_reg_v11.py:230`).  Needed when the saved run used a different
+    optimizer/freezing config (opt_state trees would not match)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    return state.replace(params=restored['params'],
+                         batch_stats=restored.get('batch_stats',
+                                                  state.batch_stats))
 
 
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:

@@ -1,0 +1,173 @@
+"""Tests: feature-pretraining loop, torch checkpoint import, profiling."""
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcd_reg_hregnet_tpu.core.config import LevelConfig
+from pcd_reg_hregnet_tpu.data import batch_iterator, load_dataset
+from pcd_reg_hregnet_tpu.train import experiment, fit, fit_feats
+from pcd_reg_hregnet_tpu.utils import torch_import
+from pcd_reg_hregnet_tpu.utils.profiling import StepTimer, time_fn
+
+SMALL_LEVELS = (LevelConfig(64, 16, (16, 16, 32), 32),
+                LevelConfig(32, 8, (32, 32, 64), 64),
+                LevelConfig(16, 8, (64, 64, 128), 128))
+
+
+def small_cfg(name='reg_v0'):
+    cfg = experiment(name)
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, levels=SMALL_LEVELS),
+        data=dataclasses.replace(cfg.data, dataset='synthetic',
+                                 pcd_min_samples=128, batch_size=2),
+        train=dataclasses.replace(cfg.train, epochs=1, lr=1e-3,
+                                  optimizer='adam', schedule='step'),
+    )
+
+
+class TestFeatsPretrain:
+    def test_two_stage_pipeline_then_registration(self, tmp_path):
+        """detector -> descriptor (frozen detector, warm start) -> fit()
+        warm-started from the feats checkpoint: the reference's 3-stage
+        chain (scripts/train_man_keypt_detector.sh -> _descriptor.sh ->
+        train_reg_*.py --pretrain_backbone_feats)."""
+        cfg = small_cfg()
+        ds = load_dataset(cfg.data, 'train', length=2, points_per_cloud=256)
+
+        state1, m1 = fit_feats(cfg, stage='detector', max_steps=1,
+                               log_dir=str(tmp_path / 'det'), datasets=(ds,))
+        assert np.isfinite(m1['loss'])
+        det_ckpt = os.path.join(str(tmp_path / 'det'), cfg.train.ckpt_dir,
+                                'feats_detector')
+        assert os.path.isdir(det_ckpt)
+
+        cfg2 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, freeze_detector=True))
+        state2, m2 = fit_feats(cfg2, stage='descriptor', max_steps=1,
+                               pretrain_detector=det_ckpt,
+                               log_dir=str(tmp_path / 'desc'), datasets=(ds,))
+        assert np.isfinite(m2['loss'])
+        assert 'matching_l1' in m2
+        # frozen detector params must be untouched by the descriptor step
+        det1 = state1.params['feature_extraction']['detector_1']
+        det2 = state2.params['feature_extraction']['detector_1']
+        for (p1, a), (p2, b) in zip(
+                jax.tree_util.tree_flatten_with_path(det1)[0],
+                jax.tree_util.tree_flatten_with_path(det2)[0]):
+            assert p1 == p2
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        desc_ckpt = os.path.join(str(tmp_path / 'desc'), cfg.train.ckpt_dir,
+                                 'feats_descriptor')
+        _, val = fit(cfg, log_dir=str(tmp_path / 'reg'), max_steps=1,
+                     datasets=(ds, ds), pretrain_feats=desc_ckpt)
+        assert np.isfinite(val['loss'])
+
+
+def _fake_torch_sd_from_flax(params, stats):
+    """Build a reference-style torch state_dict with fresh random values whose
+    shapes invert torch_import's layout map."""
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def conv_stack(prefix_t, tree_p, tree_s):
+        j = 0
+        while f'Dense_{j}' in tree_p:
+            k = np.asarray(tree_p[f'Dense_{j}']['kernel'])      # [in, out]
+            sd[f'{prefix_t}.{3 * j}.weight'] = rng.randn(k.shape[1], k.shape[0], 1, 1).astype('f')
+            bn_p, bn_s = tree_p[f'BatchNorm_{j}'], tree_s[f'BatchNorm_{j}']
+            c = np.asarray(bn_p['scale']).shape[0]
+            sd[f'{prefix_t}.{3 * j + 1}.weight'] = rng.randn(c).astype('f')
+            sd[f'{prefix_t}.{3 * j + 1}.bias'] = rng.randn(c).astype('f')
+            sd[f'{prefix_t}.{3 * j + 1}.running_mean'] = rng.randn(c).astype('f')
+            sd[f'{prefix_t}.{3 * j + 1}.running_var'] = np.abs(rng.randn(c)).astype('f')
+            j += 1
+
+    for i in (1, 2, 3):
+        det = params[f'detector_{i}']
+        det_s = stats[f'detector_{i}']
+        conv_stack(f'detector_{i}.convs', det['ConvBNReLU_0'], det_s['ConvBNReLU_0'])
+        mlp_p, mlp_s = det['MLPHead_0'], det_s['MLPHead_0']
+        for m, j in (('mlp1', 0), ('mlp2', 1)):
+            k = np.asarray(mlp_p[f'Dense_{j}']['kernel'])
+            sd[f'detector_{i}.{m}.0.weight'] = rng.randn(k.shape[1], k.shape[0], 1).astype('f')
+            sd[f'detector_{i}.{m}.0.bias'] = rng.randn(k.shape[1]).astype('f')
+            c = np.asarray(mlp_p[f'BatchNorm_{j}']['scale']).shape[0]
+            sd[f'detector_{i}.{m}.1.weight'] = rng.randn(c).astype('f')
+            sd[f'detector_{i}.{m}.1.bias'] = rng.randn(c).astype('f')
+            sd[f'detector_{i}.{m}.1.running_mean'] = rng.randn(c).astype('f')
+            sd[f'detector_{i}.{m}.1.running_var'] = np.abs(rng.randn(c)).astype('f')
+        k3 = np.asarray(mlp_p['Dense_2']['kernel'])
+        sd[f'detector_{i}.mlp3.0.weight'] = rng.randn(k3.shape[1], k3.shape[0], 1).astype('f')
+        sd[f'detector_{i}.mlp3.0.bias'] = rng.randn(k3.shape[1]).astype('f')
+
+        ext = params[f'desc_extractor_{i}']
+        ext_s = stats[f'desc_extractor_{i}']
+        conv_stack(f'desc_extractor_{i}.convs', ext['ConvBNReLU_0'], ext_s['ConvBNReLU_0'])
+        conv_stack(f'desc_extractor_{i}.mlp1', ext['ConvBNReLU_1'], ext_s['ConvBNReLU_1'])
+        conv_stack(f'desc_extractor_{i}.mlp2', ext['ConvBNReLU_2'], ext_s['ConvBNReLU_2'])
+    return sd
+
+
+class TestTorchImport:
+    def test_convert_and_merge_into_model(self):
+        """Round-trip: fake reference state_dict -> convert -> merge into an
+        initialised HierFeatureExtraction; every imported leaf lands on a
+        matching-shape flax leaf and values propagate."""
+        from pcd_reg_hregnet_tpu.models.registration import HierFeatureExtraction
+        from pcd_reg_hregnet_tpu.core.config import ModelConfig
+
+        cfg = ModelConfig(levels=SMALL_LEVELS)
+        net = HierFeatureExtraction(cfg)
+        pts = jax.random.uniform(jax.random.PRNGKey(0), (1, 128, 3))
+        variables = net.init(jax.random.PRNGKey(1), pts, train=False)
+
+        sd = _fake_torch_sd_from_flax(variables['params'], variables['batch_stats'])
+        params, stats = torch_import.convert_backbone(sd)
+        merged = torch_import.merge_into(variables, params, stats, prefix=())
+
+        kernel = np.asarray(
+            merged['params']['detector_1']['ConvBNReLU_0']['Dense_0']['kernel'])
+        expect = sd['detector_1.convs.0.weight'].reshape(
+            kernel.shape[1], kernel.shape[0]).T
+        np.testing.assert_allclose(kernel, expect)
+        mean = np.asarray(
+            merged['batch_stats']['desc_extractor_2']['ConvBNReLU_1']['BatchNorm_0']['mean'])
+        np.testing.assert_allclose(
+            mean, sd['desc_extractor_2.mlp1.1.running_mean'])
+        # merged tree still applies
+        out = net.apply(merged, pts, train=False)
+        assert np.all(np.isfinite(np.asarray(out['desc_3'])))
+
+    def test_shape_mismatch_raises(self):
+        from pcd_reg_hregnet_tpu.models.registration import HierFeatureExtraction
+        from pcd_reg_hregnet_tpu.core.config import ModelConfig
+        cfg = ModelConfig(levels=SMALL_LEVELS)
+        net = HierFeatureExtraction(cfg)
+        pts = jax.random.uniform(jax.random.PRNGKey(0), (1, 128, 3))
+        variables = net.init(jax.random.PRNGKey(1), pts, train=False)
+        sd = _fake_torch_sd_from_flax(variables['params'], variables['batch_stats'])
+        sd['detector_1.convs.0.weight'] = np.zeros((7, 7, 1, 1), 'f')
+        params, stats = torch_import.convert_backbone(sd)
+        with pytest.raises(ValueError, match='shape mismatch'):
+            torch_import.merge_into(variables, params, stats, prefix=())
+
+
+class TestProfiling:
+    def test_step_timer_and_time_fn(self):
+        timer = StepTimer()
+        f = jax.jit(lambda x: x * 2.0)
+        x = jnp.ones((8, 8))
+        for _ in range(3):
+            with timer.step(outputs=None):
+                out = f(x)
+            jax.block_until_ready(out)
+        s = timer.summary()
+        assert s['n'] == 2 and s['mean_ms'] > 0
+        dt = time_fn(f, x, iters=3, warmup=1)
+        assert dt > 0
