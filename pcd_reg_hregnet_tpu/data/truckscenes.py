@@ -145,3 +145,35 @@ class TruckScenesPairSource:
         return dict(pcd_left=left, pcd_right=right,
                     intensity_left=int_l, intensity_right=int_r,
                     extrinsic=extrinsic)
+
+    def load_camera_lidar(self, index: int) -> Dict[str, np.ndarray]:
+        """C2L mode: pair a camera with a lidar sweep
+        (reference `camera_to_lidar`, `man_dataset.py:136-172`).
+
+        `cfg.lidar_tokens` is read as (CAM_CHANNEL, LIDAR_CHANNEL).  The
+        lidar cloud is transformed into the camera frame via the same
+        calibrated_sensor/ego_pose chain; the camera intrinsic and the
+        image file path are returned so callers can render depth features
+        with `projection.render_depth_images` (image decoding is left to
+        the consumer — the registration models operate on points).
+        """
+        sample = self.samples[index]
+        cam_ch, lidar_ch = self.cfg.lidar_tokens
+        tok_cam = self._sample_data_token(sample, cam_ch)
+        tok_lid = self._sample_data_token(sample, lidar_ch)
+        extrinsic = self.extrinsic(tok_cam, tok_lid).astype(np.float32)
+
+        sd_lid = self.tables.get('sample_data', tok_lid)
+        pts, inten = load_lidar_bin(os.path.join(self.cfg.path, sd_lid['filename']))
+        pts = (pts @ extrinsic[:3, :3].T + extrinsic[:3, 3]).astype(np.float32)
+
+        sd_cam = self.tables.get('sample_data', tok_cam)
+        cs_cam = self.tables.get('calibrated_sensor', sd_cam['calibrated_sensor_token'])
+        intrinsic = np.asarray(cs_cam.get('camera_intrinsic', np.eye(3)),
+                               np.float32)
+        return dict(pcd=pts, intensity=inten, extrinsic=extrinsic,
+                    intrinsic=intrinsic,
+                    img_shape=np.asarray([sd_cam.get('height', 0),
+                                          sd_cam.get('width', 0)], np.int32),
+                    image_path=os.path.join(self.cfg.path,
+                                            sd_cam.get('filename', '')))

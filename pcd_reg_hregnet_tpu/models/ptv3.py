@@ -108,6 +108,138 @@ class PTv3Block(nn.Module):
         return x
 
 
+class SerializedPooling(nn.Module):
+    """Stride-``s`` downsampling along the space-filling-curve order.
+
+    Static-shape equivalent of `SerializedPooling` (`ptv3.py:616-719`):
+    the reference truncates serialization codes by ``pooling_depth`` bits
+    and segment-reduces equal codes; with fixed N, reducing each run of
+    ``stride`` consecutive curve positions is the same locality contraction
+    with a static output size N/stride.  Features are max-reduced, xyz is
+    mean-reduced, and channels are projected (Dense + norm + GELU).
+    """
+    channels: int
+    stride: int = 2
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, xyz, x, train: bool = False):
+        B, N, C = x.shape
+        s = self.stride
+        if N % s:
+            raise ValueError(f'SerializedPooling stride {s} must divide N={N}')
+        x = nn.Dense(self.channels)(x)
+        x = jnp.max(x.reshape(B, N // s, s, self.channels), axis=2)
+        xyz = jnp.mean(xyz.reshape(B, N // s, s, 3), axis=2)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, axis_name=self.axis_name)(x)
+        return xyz, nn.gelu(x)
+
+
+class SerializedUnpooling(nn.Module):
+    """Invert a stride-``s`` pooling: broadcast each pooled feature back to
+    its run and fuse with the skip connection (`ptv3.py:722-757`)."""
+    channels: int
+    stride: int = 2
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        B, M, _ = x.shape
+        up = nn.Dense(self.channels)(x)
+        up = jnp.repeat(up, self.stride, axis=1)              # [B, M*s, C]
+        sk = nn.Dense(self.channels)(skip)
+        out = up + sk
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, axis_name=self.axis_name)(out)
+        return nn.gelu(out)
+
+
+class PointTransformerV3(nn.Module):
+    """Full PTv3: embedding stem -> pooled encoder stages -> unpooled
+    decoder stages with skip connections, multi-order block shuffle.
+
+    API-parity module for the reference's vendored `PointTransformerV3`
+    (`ptv3.py:798-994`), re-derived for static shapes: per-stage
+    serialization (z / Hilbert, alternating per block — the reference's
+    order-shuffle), stride-2 curve pooling instead of code-truncation
+    segment reduce.  Returns per-point features [B, N, dec_channels[-1]].
+    """
+    enc_channels: Tuple[int, ...] = (32, 64, 128, 256)
+    enc_depths: Tuple[int, ...] = (2, 2, 2, 2)
+    enc_heads: Tuple[int, ...] = (2, 4, 8, 16)
+    dec_channels: Tuple[int, ...] = (64, 64, 128)
+    dec_depths: Tuple[int, ...] = (2, 2, 2)
+    dec_heads: Tuple[int, ...] = (4, 4, 8)
+    patch_size: int = 128
+    stride: int = 2
+    mlp_ratio: float = 4.0
+    grid_size: float = 0.01
+    orders: Tuple[str, ...] = ('z', 'hilbert')
+    axis_name: Optional[str] = None
+
+    def _orders(self, xyz):
+        from ..ops.hilbert import serialize_hilbert
+        table = []
+        for o in self.orders:
+            if o == 'hilbert':
+                table.append(serialize_hilbert(xyz, self.grid_size))
+            else:
+                table.append(serialization.serialize(xyz, self.grid_size, 'z'))
+        return table
+
+    def _run_blocks(self, xyz, x, depth, heads, train):
+        """Blocks alternate serialization orders (`ptv3.py:905-918`)."""
+        table = self._orders(xyz)
+        for b in range(depth):
+            order, inverse = table[b % len(table)]
+            xs = jnp.take_along_axis(x, order[..., None], axis=1)
+            xs = PTv3Block(x.shape[-1], heads,
+                           min(self.patch_size, x.shape[1]),
+                           self.mlp_ratio)(xs)
+            x = jnp.take_along_axis(xs, inverse[..., None], axis=1)
+        return x
+
+    @nn.compact
+    def __call__(self, xyz, feat, train: bool = False):
+        # Embedding stem on the z-serialized sequence (`ptv3.py:760-795`)
+        order, inverse = serialization.serialize(xyz, self.grid_size, 'z')
+        x = jnp.take_along_axis(feat, order[..., None], axis=1)
+        x = SerializedDepthwiseConv(x.shape[-1], kernel=5)(x)
+        x = nn.Dense(self.enc_channels[0])(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.01,
+                         epsilon=1e-2, axis_name=self.axis_name)(x)
+        x = nn.gelu(x)
+        x = jnp.take_along_axis(x, inverse[..., None], axis=1)
+
+        skips = []
+        cur_xyz = xyz
+        for s, depth in enumerate(self.enc_depths):
+            if s > 0:
+                # pool along the current z-order so runs are curve-local;
+                # remember the permutation so the decoder can undo it
+                o, inv = serialization.serialize(cur_xyz, self.grid_size, 'z')
+                skips.append((cur_xyz, x, o, inv))
+                xs = jnp.take_along_axis(x, o[..., None], axis=1)
+                xyzs = jnp.take_along_axis(cur_xyz, o[..., None], axis=1)
+                cur_xyz, x = SerializedPooling(
+                    self.enc_channels[s], self.stride,
+                    axis_name=self.axis_name)(xyzs, xs, train)
+            x = self._run_blocks(cur_xyz, x, depth, self.enc_heads[s], train)
+
+        for d in range(len(self.dec_depths) - 1, -1, -1):
+            skip_xyz, skip_x, o, inv = skips.pop()
+            # fuse in the sorted order the pooling ran in, then un-permute
+            skip_sorted = jnp.take_along_axis(skip_x, o[..., None], axis=1)
+            xs = SerializedUnpooling(self.dec_channels[d], self.stride,
+                                     axis_name=self.axis_name)(x, skip_sorted, train)
+            x = jnp.take_along_axis(xs, inv[..., None], axis=1)
+            cur_xyz = skip_xyz
+            x = self._run_blocks(cur_xyz, x, self.dec_depths[d],
+                                 self.dec_heads[d], train)
+        return x
+
+
 class PointTransformerEncoder(nn.Module):
     """Encoder-only PTv3 with channel-preserving stage transitions.
 

@@ -1,11 +1,14 @@
-from .sampling import fps, weighted_fps, gather_points
+from .hilbert import hilbert_decode, hilbert_keys, serialize_hilbert
 from .neighbors import knn, knn_gather, knn_group, pairwise_sqdist
 from .procrustes import weighted_kabsch
-from .serialization import serialize, z_order_keys, grid_coords
+from .sampling import fps, gather_points, weighted_fps
+from .serialization import (grid_coords, serialize, z_order_decode,
+                            z_order_keys)
 
 __all__ = [
     'fps', 'weighted_fps', 'gather_points',
     'knn', 'knn_gather', 'knn_group', 'pairwise_sqdist',
     'weighted_kabsch',
-    'serialize', 'z_order_keys', 'grid_coords',
+    'serialize', 'z_order_keys', 'z_order_decode', 'grid_coords',
+    'hilbert_keys', 'hilbert_decode', 'serialize_hilbert',
 ]

@@ -74,14 +74,65 @@ def hilbert_keys(grid_coord: jnp.ndarray, num_bits: int = 16):
     bits = _gray_to_binary(flat).astype(jnp.uint32)
 
     total = 3 * num_bits
-    lo_bits = bits[..., total - 24:]
-    hi_bits = bits[..., : total - 24]
-    weights_lo = (jnp.uint32(1) << jnp.arange(23, -1, -1, dtype=jnp.uint32))
+    nlo = min(total, 24)
+    lo_bits = bits[..., total - nlo:]
+    weights_lo = (jnp.uint32(1) << jnp.arange(nlo - 1, -1, -1, dtype=jnp.uint32))
     lo = jnp.sum(lo_bits * weights_lo, axis=-1, dtype=jnp.uint32)
-    nhi = total - 24
+    nhi = total - nlo
+    if nhi == 0:
+        return jnp.zeros_like(lo), lo
+    hi_bits = bits[..., :nhi]
     weights_hi = (jnp.uint32(1) << jnp.arange(nhi - 1, -1, -1, dtype=jnp.uint32))
     hi = jnp.sum(hi_bits * weights_hi, axis=-1, dtype=jnp.uint32)
     return hi, lo
+
+
+@partial(jax.jit, static_argnames=('num_bits',))
+def hilbert_decode(hi: jnp.ndarray, lo: jnp.ndarray, num_bits: int = 16):
+    """Invert `hilbert_keys`: (hi, lo) uint32 -> grid coords [..., 3] int32.
+
+    Counterpart of the reference's `hilbert.decode` (`hilbert.py:201`):
+    binary -> Gray, de-interleave to per-axis bit planes, then run the
+    Skilling passes in reverse (each pass is an involutive masked swap
+    followed by the mask inversion undone).
+    """
+    total = 3 * num_bits
+    nlo = min(total, 24)
+    nhi = total - nlo
+    shifts_lo = jnp.arange(nlo - 1, -1, -1, dtype=jnp.uint32)
+    lo_bits = ((lo[..., None] >> shifts_lo) & 1).astype(jnp.bool_)
+    if nhi:
+        shifts_hi = jnp.arange(nhi - 1, -1, -1, dtype=jnp.uint32)
+        hi_bits = ((hi[..., None] >> shifts_hi) & 1).astype(jnp.bool_)
+        bits = jnp.concatenate([hi_bits, lo_bits], axis=-1)   # [..., total]
+    else:
+        bits = lo_bits
+
+    # binary -> Gray (MSB first): gray[i] = b[i] ^ b[i-1]
+    shifted = jnp.concatenate(
+        [jnp.zeros(bits.shape[:-1] + (1,), jnp.bool_), bits[..., :-1]], axis=-1)
+    gray_flat = jnp.logical_xor(bits, shifted)
+    # de-interleave [..., num_bits, 3] -> [..., 3, num_bits]
+    gray = jnp.swapaxes(gray_flat.reshape(gray_flat.shape[:-1] + (num_bits, 3)),
+                        -1, -2)
+
+    for bit in range(num_bits - 1, -1, -1):
+        for dim in range(NUM_DIMS - 1, -1, -1):
+            mask = gray[..., dim, bit:bit + 1]
+            lower0 = gray[..., 0, bit + 1:]
+            lowerd = gray[..., dim, bit + 1:]
+            to_flip = jnp.logical_and(jnp.logical_not(mask),
+                                      jnp.logical_xor(lower0, lowerd))
+            lowerd = jnp.logical_xor(lowerd, to_flip)
+            lower0 = jnp.logical_xor(lower0, to_flip)
+            lower0 = jnp.logical_xor(lower0, mask)
+            gray = gray.at[..., dim, bit + 1:].set(lowerd)
+            gray = gray.at[..., 0, bit + 1:].set(lower0)
+
+    weights = (jnp.uint32(1) << jnp.arange(num_bits - 1, -1, -1,
+                                           dtype=jnp.uint32))
+    return jnp.sum(gray.astype(jnp.uint32) * weights, axis=-1,
+                   dtype=jnp.uint32).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=('order', 'num_bits'))

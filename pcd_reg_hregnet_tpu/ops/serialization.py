@@ -53,6 +53,27 @@ def z_order_keys(grid_coord: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return hi, lo
 
 
+def _unpart1by2_10(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `_part1by2_10`: compact every 3rd bit into the low 10."""
+    x = x.astype(jnp.uint32) & jnp.uint32(0x9249249)
+    x = (x | (x >> 2)) & jnp.uint32(0x30C30C3)
+    x = (x | (x >> 4)) & jnp.uint32(0x300F00F)
+    x = (x | (x >> 8)) & jnp.uint32(0x30000FF)
+    x = (x | (x >> 16)) & jnp.uint32(0x3FF)
+    return x
+
+
+def z_order_decode(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Invert `z_order_keys`: (hi, lo) uint32 -> grid coords [..., 3] int32.
+
+    Counterpart of the reference's `key2xyz` decode (`z_order.py:63-126`).
+    """
+    x = _unpart1by2_10(lo) | (_unpart1by2_10(hi) << 10)
+    y = _unpart1by2_10(lo >> 1) | (_unpart1by2_10(hi >> 1) << 10)
+    z = _unpart1by2_10(lo >> 2) | (_unpart1by2_10(hi >> 2) << 10)
+    return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+
+
 def grid_coords(xyz: jnp.ndarray, grid_size: float) -> jnp.ndarray:
     """Voxelize to non-negative integer grid coords per cloud [B, N, 3].
 

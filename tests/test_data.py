@@ -87,3 +87,88 @@ class TestBatching:
         a = [b['igt'][0, 0, 3] for b in batch_iterator(ds, 2, shuffle=True, seed=3)]
         b = [b['igt'][0, 0, 3] for b in batch_iterator(ds, 2, shuffle=True, seed=3)]
         np.testing.assert_array_equal(a, b)
+
+
+class TestProjection:
+    def test_project_to_image_bounds(self):
+        from pcd_reg_hregnet_tpu.data.projection import project_to_image
+        K = np.array([[100., 0., 32.], [0., 100., 24.], [0., 0., 1.]])
+        pts = np.array([[0., 0., 10.],     # center -> (32, 24)
+                        [1., 0., 10.],     # -> (42, 24)
+                        [0., 0., -5.],     # behind camera
+                        [50., 0., 1.]])    # off image
+        u, v, r, valid = project_to_image((48, 64), K, pts, np.linalg.norm(pts, axis=1))
+        assert valid.tolist() == [True, True, False, False]
+        assert u.tolist() == [32, 42] and v.tolist() == [24, 24]
+
+    def test_azimuth_filter(self):
+        from pcd_reg_hregnet_tpu.data.projection import azimuth_filter
+        pts = np.array([[1., 0., 0.],      # 0 deg -> keep
+                        [0., 1., 0.],      # 90 -> drop (max 50)
+                        [-1., -1., 0.],    # -135 -> drop (min -130)
+                        [0., -1., 0.]])    # -90 -> keep
+        out = azimuth_filter(pts)
+        assert out.shape == (2, 3)
+
+    def test_render_depth_images_matches_host_projection(self):
+        import jax.numpy as jnp
+        from pcd_reg_hregnet_tpu.data.projection import (DepthImageRenderer,
+                                                         project_to_image)
+        rng = np.random.RandomState(0)
+        pts = rng.uniform(-5, 5, size=(2, 64, 3)).astype('f')
+        pts[..., 2] = np.abs(pts[..., 2]) + 1.0          # in front of camera
+        K = np.array([[40., 0., 32.], [0., 40., 24.], [0., 0., 1.]], 'f')
+        rng_arr = np.linalg.norm(pts, axis=-1)
+        inten = rng.rand(2, 64).astype('f')
+        dens = rng.rand(2, 64).astype('f')
+        gen = DepthImageRenderer((48, 64), K, jnp.asarray(rng_arr),
+                                 jnp.asarray(inten), jnp.asarray(dens))
+        eye = jnp.broadcast_to(jnp.eye(4), (2, 4, 4))
+        img, p = gen(eye, jnp.asarray(pts))
+        assert img.shape == (2, 3, 48, 64)
+        np.testing.assert_allclose(np.asarray(p), pts, atol=1e-5)
+        u, v, r, valid = project_to_image((48, 64), K, pts[0], rng_arr[0])
+        got = np.asarray(img)[0, 0, v, u]
+        # scatter .set keeps one of the colliding writes; check nonzero
+        assert (got > 0).all()
+
+    def test_c2l_loader_contract(self, tmp_path):
+        # minimal synthetic TruckScenes table set with one camera + lidar
+        import json, dataclasses
+        from pcd_reg_hregnet_tpu.core.config import DataConfig
+        from pcd_reg_hregnet_tpu.data.truckscenes import TruckScenesPairSource
+        root = tmp_path
+        (root / 'v1.0-mini').mkdir()
+        (root / 'sweeps').mkdir()
+        pts = np.random.RandomState(0).rand(32, 5).astype('f')
+        pts.tofile(root / 'sweeps' / 'lidar.pcd.bin')
+        eye_pose = dict(rotation=[1., 0., 0., 0.], translation=[0., 0., 0.])
+        tables = {
+            'scene': [dict(token='sc', name='scene-1', first_sample_token='sa')],
+            'sample': [dict(token='sa', next='',
+                            data=dict(CAMERA_LEFT='sd_cam', LIDAR_LEFT='sd_lid'))],
+            'sample_data': [
+                dict(token='sd_cam', sample_token='sa', channel='CAMERA_LEFT',
+                     calibrated_sensor_token='cs_cam', ego_pose_token='ep',
+                     filename='img.jpg', height=48, width=64),
+                dict(token='sd_lid', sample_token='sa', channel='LIDAR_LEFT',
+                     calibrated_sensor_token='cs_lid', ego_pose_token='ep',
+                     filename='sweeps/lidar.pcd.bin'),
+            ],
+            'calibrated_sensor': [
+                dict(token='cs_cam', camera_intrinsic=np.eye(3).tolist(), **eye_pose),
+                dict(token='cs_lid', **eye_pose),
+            ],
+            'ego_pose': [dict(token='ep', **eye_pose)],
+            'sensor': [],
+        }
+        for name, rows in tables.items():
+            json.dump(rows, open(root / 'v1.0-mini' / f'{name}.json', 'w'))
+        cfg = DataConfig(dataset='man', path=str(root), version='v1.0-mini',
+                         mode='C2L', lidar_tokens=('CAMERA_LEFT', 'LIDAR_LEFT'))
+        src = TruckScenesPairSource(cfg, 'train')
+        item = src.load_camera_lidar(0)
+        assert item['pcd'].shape == (32, 3)
+        assert item['intrinsic'].shape == (3, 3)
+        assert item['img_shape'].tolist() == [48, 64]
+        assert item['image_path'].endswith('img.jpg')

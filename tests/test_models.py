@@ -119,3 +119,37 @@ class TestAttentionModel:
         from pcd_reg_hregnet_tpu.models import build
         m = build('model_v5', levels=SMALL_LEVELS)
         assert type(m).__name__ == 'AttentionRegistrationModel'
+
+
+class TestFullPTv3:
+    def test_encdec_forward_and_grad(self):
+        from pcd_reg_hregnet_tpu.models import PointTransformerV3
+        net = PointTransformerV3(
+            enc_channels=(16, 32, 64), enc_depths=(1, 1, 1),
+            enc_heads=(2, 4, 4), dec_channels=(16, 32), dec_depths=(1, 1),
+            dec_heads=(2, 4), patch_size=16, grid_size=0.05)
+        xyz = jax.random.uniform(jax.random.PRNGKey(0), (2, 128, 3),
+                                 minval=-10.0, maxval=10.0)
+        feat = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 8))
+        v = net.init(jax.random.PRNGKey(2), xyz, feat, False)
+        out, _ = net.apply(v, xyz, feat, True, mutable=['batch_stats'])
+        assert out.shape == (2, 128, 16)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+        def loss(p):
+            o = net.apply({'params': p, 'batch_stats': v['batch_stats']},
+                          xyz, feat, False)
+            return jnp.sum(o ** 2)
+        g = jax.grad(loss)(v['params'])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+    def test_pooling_halves_points(self):
+        from pcd_reg_hregnet_tpu.models import SerializedPooling
+        pool = SerializedPooling(channels=32, stride=2)
+        xyz = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 3))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 16))
+        v = pool.init(jax.random.PRNGKey(2), xyz, x, False)
+        (nxyz, nx), _ = pool.apply(v, xyz, x, True, mutable=['batch_stats'])
+        assert nxyz.shape == (2, 32, 3) and nx.shape == (2, 32, 32)

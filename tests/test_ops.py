@@ -150,3 +150,36 @@ class TestSerialization:
         codes = (np.asarray(hi, dtype=np.uint64) << np.uint64(30)) | np.asarray(lo, dtype=np.uint64)
         expected = np.array([np_morton(v) for v in g], dtype=np.uint64)
         np.testing.assert_array_equal(codes, expected)
+
+
+class TestSerializationDecode:
+    def test_zorder_decode_roundtrip(self):
+        from pcd_reg_hregnet_tpu.ops.serialization import (z_order_decode,
+                                                           z_order_keys)
+        rng = np.random.RandomState(0)
+        g = jnp.asarray(rng.randint(0, 1 << 20, size=(4, 64, 3)), jnp.int32)
+        hi, lo = z_order_keys(g)
+        back = z_order_decode(hi, lo)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(g))
+
+    def test_hilbert_decode_roundtrip(self):
+        from pcd_reg_hregnet_tpu.ops.hilbert import hilbert_decode, hilbert_keys
+        rng = np.random.RandomState(1)
+        g = jnp.asarray(rng.randint(0, 1 << 16, size=(2, 64, 3)), jnp.int32)
+        hi, lo = hilbert_keys(g, num_bits=16)
+        back = hilbert_decode(hi, lo, num_bits=16)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(g))
+
+    def test_hilbert_keys_bijective_small_cube(self):
+        # every cell of a 4^3 cube must map to a distinct hilbert index
+        from pcd_reg_hregnet_tpu.ops.hilbert import hilbert_keys
+        xs = np.stack(np.meshgrid(*([np.arange(4)] * 3),
+                                  indexing='ij'), -1).reshape(1, -1, 3)
+        hi, lo = hilbert_keys(jnp.asarray(xs, jnp.int32), num_bits=2)
+        codes = np.asarray(hi).astype(np.uint64) * (1 << 24) + np.asarray(lo)
+        assert len(np.unique(codes[0])) == 64
+        # ...and consecutive hilbert indices are adjacent cells (curve property)
+        order = np.argsort(codes[0])
+        pts = xs[0][order]
+        d = np.abs(np.diff(pts, axis=0)).sum(axis=1)
+        np.testing.assert_array_equal(d, np.ones(63))
