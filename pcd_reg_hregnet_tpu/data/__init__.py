@@ -24,6 +24,12 @@ def load_dataset(cfg: DataConfig, split: str = 'train', **kwargs) -> PairDataset
             length=kwargs.pop('length', {'train': 64, 'val': 16, 'test': 16}[split]),
             points_per_cloud=kwargs.pop('points_per_cloud', 2 * cfg.pcd_min_samples),
             seed={'train': 0, 'val': 101, 'test': 202}[split])
+    elif cfg.dataset in ('kitti', 'nuscenes'):
+        # stub branches mirroring the reference (`dataset/data_loader.py:27-32`,
+        # stale `dataset/nuscenes_dataset.py`): declared but not implemented
+        raise NotImplementedError(
+            f'{cfg.dataset!r} is a declared-but-unimplemented source in the '
+            f'reference as well; use man / audi / synthetic')
     else:
         raise ValueError(f'unknown dataset {cfg.dataset!r}')
     return PairDataset(source, cfg, split)

@@ -59,6 +59,31 @@ def resample(points: np.ndarray, num_points: int, rng: np.random.Generator,
     return points[idx], None
 
 
+def voxel_downsample(points: np.ndarray, voxel_size: float,
+                     intensity: Optional[np.ndarray] = None):
+    """Keep one (centroid) point per occupied voxel.
+
+    Equivalent of the Open3D `voxel_down_sample` path of
+    `PointCloudFilter.fiter_points` (`dataset_utils.py:127-172`), without the
+    o3d dependency: quantise to a grid, average points sharing a voxel.
+    """
+    if points.shape[0] == 0:
+        return points, intensity
+    coords = np.floor(points[:, :3] / float(voxel_size)).astype(np.int64)
+    coords -= coords.min(axis=0)
+    key = (coords[:, 0] * (coords[:, 1].max() + 1) + coords[:, 1]) \
+        * (coords[:, 2].max() + 1) + coords[:, 2]
+    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    out = np.zeros((uniq.shape[0], points.shape[1]), np.float64)
+    np.add.at(out, inv, points)
+    out = (out / counts[:, None]).astype(points.dtype)
+    if intensity is not None:
+        out_i = np.zeros((uniq.shape[0],), np.float64)
+        np.add.at(out_i, inv, intensity)
+        return out, (out_i / counts).astype(intensity.dtype)
+    return out, None
+
+
 def minmax_scale(x: np.ndarray, max_value: float = 1.0) -> np.ndarray:
     """Normalise intensities to [0, 1] (`dataset_utils.py:271` MinMaxScaler)."""
     lo, hi = float(x.min(initial=0.0)), float(x.max(initial=max_value))

@@ -141,7 +141,7 @@ def distributed_optimize(graph: PoseGraph, mesh, iters: int = 10,
     pad with zero-weight edges.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     K = graph.poses.shape[0]
 

@@ -83,6 +83,76 @@ class VisualizeResults:
         return path
 
 
+class FeatureMapVisualizer:
+    """Intermediate-activation plots — the JAX counterpart of the
+    reference's forward-hook feature-map dumps
+    (`visualize/visualize_results.py:198-321` registers torch hooks).
+
+    Flax modules need no hooks: `capture(model, variables, src, dst)` runs
+    the forward pass with `capture_intermediates=True` and returns the
+    intermediates tree; `plot(...)` renders any captured [B, N, C] /
+    [B, M, k, C] activation as a keypoint scatter coloured by channel
+    statistics plus a channel-activation heatmap.
+    """
+
+    def __init__(self, out_dir: str = 'plots'):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    @staticmethod
+    def capture(model, variables, src, dst, filter_fn=None):
+        _, state = model.apply(
+            variables, src, dst, train=False,
+            capture_intermediates=filter_fn or True, mutable=['intermediates'])
+        return state['intermediates']
+
+    @staticmethod
+    def flatten(intermediates) -> Dict[str, np.ndarray]:
+        """Flatten the intermediates tree to {'path/to/module': array}."""
+        out: Dict[str, np.ndarray] = {}
+
+        def walk(node, prefix):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(v, f'{prefix}/{k}' if prefix else k)
+            elif isinstance(node, (tuple, list)):
+                for i, v in enumerate(node):
+                    walk(v, f'{prefix}[{i}]' if len(node) > 1 else prefix)
+            elif hasattr(node, 'shape'):
+                out[prefix] = np.asarray(node)
+        walk(intermediates, '')
+        return out
+
+    def plot(self, name: str, activation: np.ndarray,
+             xyz: Optional[np.ndarray] = None, batch_index: int = 0) -> str:
+        act = np.asarray(activation)
+        if act.ndim == 4:                      # [B, M, k, C] -> reduce over k
+            act = act.max(axis=2)
+        act = act[batch_index]                 # [N, C]
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.5))
+        mag = np.linalg.norm(act, axis=-1)
+        if xyz is not None:
+            pts = np.asarray(xyz)[batch_index]
+            sc = ax1.scatter(pts[:, 0], pts[:, 1], c=mag, s=2, cmap='viridis')
+            ax1.set_aspect('equal')
+        else:
+            sc = ax1.scatter(np.arange(mag.shape[0]), mag, c=mag, s=2,
+                             cmap='viridis')
+        fig.colorbar(sc, ax=ax1, label='|feature|')
+        ax1.set_title(f'{name}: per-point magnitude')
+        n_show = min(64, act.shape[-1])
+        ax2.imshow(act[:, :n_show].T, aspect='auto', cmap='viridis',
+                   interpolation='nearest')
+        ax2.set_xlabel('point'); ax2.set_ylabel('channel')
+        ax2.set_title(f'{name}: first {n_show} channels')
+        safe = name.replace('/', '_').replace('[', '_').replace(']', '')
+        path = os.path.join(self.out_dir, f'featmap_{safe}.png')
+        fig.tight_layout()
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path
+
+
 class InferenceVisualizer:
     """BEV overlays of (target, decalibrated source, registered source)."""
 

@@ -172,3 +172,30 @@ class TestProjection:
         assert item['intrinsic'].shape == (3, 3)
         assert item['img_shape'].tolist() == [48, 64]
         assert item['image_path'].endswith('img.jpg')
+
+
+class TestVoxelAndStubs:
+    def test_voxel_downsample_merges_cells(self):
+        from pcd_reg_hregnet_tpu.data.pipeline import voxel_downsample
+        pts = np.array([[0.01, 0.01, 0.01], [0.02, 0.02, 0.02],
+                        [1.0, 1.0, 1.0]], np.float32)
+        inten = np.array([0.0, 1.0, 0.5], np.float32)
+        out, oi = voxel_downsample(pts, 0.1, inten)
+        assert out.shape[0] == 2
+        # the merged cell averages its two members
+        merged = out[np.argmin(np.linalg.norm(out, axis=1))]
+        np.testing.assert_allclose(merged, [0.015, 0.015, 0.015], atol=1e-6)
+        assert sorted(oi.tolist()) == [0.5, 0.5]
+
+    def test_voxel_downsample_empty(self):
+        from pcd_reg_hregnet_tpu.data.pipeline import voxel_downsample
+        pts = np.zeros((0, 3), np.float32)
+        out, _ = voxel_downsample(pts, 0.1)
+        assert out.shape[0] == 0
+
+    def test_kitti_nuscenes_are_declared_stubs(self):
+        import pytest
+        for name in ('kitti', 'nuscenes'):
+            cfg = DataConfig(dataset=name)
+            with pytest.raises(NotImplementedError):
+                load_dataset(cfg, 'train')

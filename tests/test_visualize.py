@@ -1,0 +1,50 @@
+"""Visualization utilities produce files headlessly (reference parity:
+`visualize/visualize_results.py`, `visualize_inference.py`)."""
+import jax
+import numpy as np
+
+from pcd_reg_hregnet_tpu.models import RegistrationModel
+from pcd_reg_hregnet_tpu.utils.visualize import (FeatureMapVisualizer,
+                                                 InferenceVisualizer,
+                                                 VisualizeResults)
+
+from test_models import make_inputs, small_cfg
+
+
+def fake_results(n=50):
+    rng = np.random.default_rng(0)
+    return {'error_calib': rng.normal(0, 0.1, size=(n, 6))}
+
+
+class TestResultPlots:
+    def test_all_plots_written(self, tmp_path):
+        viz = VisualizeResults(str(tmp_path))
+        res = fake_results()
+        for path in (viz.error_distributions(res),
+                     viz.box_plots({'layer_1': res, 'layer_2': fake_results()}),
+                     viz.recall_curve(res)):
+            import os
+            assert os.path.getsize(path) > 0
+
+    def test_bev(self, tmp_path):
+        rng = np.random.default_rng(1)
+        viz = InferenceVisualizer(str(tmp_path))
+        path = viz.bev(rng.normal(size=(100, 3)), rng.normal(size=(100, 3)),
+                       rng.normal(size=(100, 3)))
+        import os
+        assert os.path.getsize(path) > 0
+
+
+class TestFeatureMaps:
+    def test_capture_and_plot(self, tmp_path):
+        model = RegistrationModel(small_cfg('hregnet'))
+        src, dst = make_inputs(n=128)
+        variables = model.init(jax.random.PRNGKey(0), src, dst, train=False)
+        inter = FeatureMapVisualizer.capture(model, variables, src, dst)
+        flat = FeatureMapVisualizer.flatten(inter)
+        assert flat, 'no intermediates captured'
+        name, act = next((kv for kv in flat.items() if np.asarray(kv[1]).ndim >= 3))
+        viz = FeatureMapVisualizer(str(tmp_path))
+        path = viz.plot(name, act)
+        import os
+        assert os.path.getsize(path) > 0
