@@ -34,6 +34,7 @@ class KeypointDetectorSelfAttention(nn.Module):
     out_channels: Sequence[int]
     use_fps: bool = True
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, xyz, features=None, weights=None, train: bool = False):
@@ -50,22 +51,25 @@ class KeypointDetectorSelfAttention(nn.Module):
             sampled_xyz = xyz[:, ::stride][:, : self.nsample]
 
         grouped, knn_xyz = knn_group(sampled_xyz, xyz, features, self.k)
-        emb = ConvBNReLU(self.out_channels, axis_name=self.axis_name)(grouped, train)
+        emb = ConvBNReLU(self.out_channels, axis_name=self.axis_name, dtype=self.dtype)(grouped, train)
         c_o = self.out_channels[-1]
 
-        q = nn.Dense(c_o // 4, use_bias=False)(emb)          # [B,M,k,C/4]
-        k = nn.Dense(c_o // 4, use_bias=False)(emb)
-        v = nn.Dense(c_o, use_bias=False)(emb)
-        scores = jnp.einsum('bmkc,bmjc->bmkj', q, k) / (self.k ** 0.5)
+        q = nn.Dense(c_o // 4, use_bias=False, dtype=self.dtype)(emb)  # [B,M,k,C/4]
+        k = nn.Dense(c_o // 4, use_bias=False, dtype=self.dtype)(emb)
+        v = nn.Dense(c_o, use_bias=False, dtype=self.dtype)(emb)
+        scores = jnp.einsum('bmkc,bmjc->bmkj', q, k,
+                            preferred_element_type=jnp.float32) / (self.k ** 0.5)
         attn = jax.nn.softmax(scores, axis=-1)                # [B,M,k,k]
-        attended = jnp.einsum('bmkj,bmjc->bmkc', attn, v)     # [B,M,k,C]
+        attended = jnp.einsum('bmkj,bmjc->bmkc', attn.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.float32)           # [B,M,k,C]
         attentive_feature = jnp.sum(attended, axis=2)         # [B,M,C]
 
         # keypoints from column-summed attention over neighbours
         w_xyz = jnp.sum(attn, axis=2)                         # [B,M,k]
         keypoints = jnp.einsum('bmk,bmkc->bmc', w_xyz, knn_xyz)
 
-        sigmas = MLPHead((c_o, c_o), 1, axis_name=self.axis_name)(attentive_feature, train)
+        sigmas = MLPHead((c_o, c_o), 1, axis_name=self.axis_name, dtype=self.dtype)(attentive_feature, train)
         sigmas = jax.nn.softplus(sigmas)[..., 0] + 0.001
         return keypoints, sigmas, attentive_feature
 
@@ -113,6 +117,8 @@ class AttentionRegistrationModel(nn.Module):
             KeypointDetectorSelfAttention(
                 nsample=lvl.nsample, k=lvl.k, out_channels=lvl.conv_channels,
                 use_fps=cfg.use_fps, axis_name=self.axis_name,
+                dtype=(jnp.dtype(cfg.compute_dtype)
+                       if cfg.compute_dtype != 'float32' else None),
                 name=f'detector_{i + 1}')
             for i, lvl in enumerate(cfg.levels)]
 

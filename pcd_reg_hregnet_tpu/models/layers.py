@@ -34,16 +34,23 @@ def _safe_dist(v: jnp.ndarray) -> jnp.ndarray:
 
 
 class ConvBNReLU(nn.Module):
-    """Stack of (pointwise Dense -> BatchNorm -> ReLU), torch Conv(1x1)+BN+ReLU."""
+    """Stack of (pointwise Dense -> BatchNorm -> ReLU), torch Conv(1x1)+BN+ReLU.
+
+    `dtype` sets the matmul compute precision (bfloat16 doubles MXU
+    throughput); BatchNorm statistics and activations between layers stay
+    float32 so training at small batch sizes is unaffected.
+    """
     features: Sequence[int]
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for f in self.features:
-            x = nn.Dense(f, use_bias=False)(x)
+            x = nn.Dense(f, use_bias=False, dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, axis_name=self.axis_name)(x)
+                             epsilon=1e-5, axis_name=self.axis_name,
+                             dtype=jnp.float32)(x)
             x = nn.relu(x)
         return x
 
@@ -53,13 +60,15 @@ class MLPHead(nn.Module):
     hidden: Sequence[int]
     out: int
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for f in self.hidden:
-            x = nn.Dense(f)(x)
+            x = nn.Dense(f, dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, axis_name=self.axis_name)(x)
+                             epsilon=1e-5, axis_name=self.axis_name,
+                             dtype=jnp.float32)(x)
             x = nn.relu(x)
         return nn.Dense(self.out)(x)
 
@@ -80,6 +89,7 @@ class KeypointDetector(nn.Module):
     out_channels: Sequence[int]
     use_fps: bool = True
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, xyz, features=None, weights=None, train: bool = False):
@@ -101,7 +111,7 @@ class KeypointDetector(nn.Module):
             sampled_xyz = xyz[:, :: stride][:, : self.nsample]
 
         grouped, knn_xyz = knn_group(sampled_xyz, xyz, features, self.k)
-        embedding = ConvBNReLU(self.out_channels, axis_name=self.axis_name)(grouped, train)
+        embedding = ConvBNReLU(self.out_channels, axis_name=self.axis_name, dtype=self.dtype)(grouped, train)
         c_o = self.out_channels[-1]
 
         x1 = jnp.max(embedding, axis=-1)                 # [B,M,k] channel max
@@ -110,7 +120,7 @@ class KeypointDetector(nn.Module):
         attentive_map = embedding * attn[..., None]                       # [B,M,k,C_o]
         attentive_feature = jnp.sum(attentive_map, axis=2)                # [B,M,C_o]
 
-        sigmas = MLPHead((c_o, c_o), 1, axis_name=self.axis_name)(attentive_feature, train)
+        sigmas = MLPHead((c_o, c_o), 1, axis_name=self.axis_name, dtype=self.dtype)(attentive_feature, train)
         sigmas = jax.nn.softplus(sigmas)[..., 0] + 0.001                  # [B,M]
         return keypoints, sigmas, attentive_feature, grouped, attentive_map
 
@@ -124,16 +134,17 @@ class DescExtractor(nn.Module):
     out_channels: Sequence[int]
     desc_dim: int
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, grouped_features, attentive_feature_map, train: bool = False):
-        x1 = ConvBNReLU(self.out_channels, axis_name=self.axis_name)(grouped_features, train)
+        x1 = ConvBNReLU(self.out_channels, axis_name=self.axis_name, dtype=self.dtype)(grouped_features, train)
         k = x1.shape[2]
         x2 = jnp.max(x1, axis=2, keepdims=True)          # [B,M,1,C]
         x2 = jnp.broadcast_to(x2, x1.shape)
         x = jnp.concatenate([x2, x1, attentive_feature_map], axis=-1)
-        x = ConvBNReLU((self.out_channels[-2],), axis_name=self.axis_name)(x, train)
-        x = ConvBNReLU((self.desc_dim,), axis_name=self.axis_name)(x, train)
+        x = ConvBNReLU((self.out_channels[-2],), axis_name=self.axis_name, dtype=self.dtype)(x, train)
+        x = ConvBNReLU((self.desc_dim,), axis_name=self.axis_name, dtype=self.dtype)(x, train)
         return jnp.max(x, axis=2)                        # [B,M,desc_dim]
 
 
@@ -165,6 +176,7 @@ class CoarseReg(nn.Module):
     return_dists: bool = False
     mi_outputs: bool = False
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, src_xyz, src_desc, dst_xyz, dst_desc,
@@ -197,7 +209,7 @@ class CoarseReg(nn.Module):
             feats_dist = 1.0 - dst_src_cos                       # model_v4/layers.py:281
 
         if self.use_neighbor:
-            nbr_convs = ConvBNReLU((self.in_channels,) * 3, axis_name=self.axis_name)
+            nbr_convs = ConvBNReLU((self.in_channels,) * 3, axis_name=self.axis_name, dtype=self.dtype)
 
             def nbr_desc(xyz, desc):
                 _, nbr_idx = knn(xyz, xyz, k)
@@ -224,16 +236,16 @@ class CoarseReg(nn.Module):
         desc = jnp.concatenate([src_desc_expand, src_knn_desc, src_w_expand, src_knn_w], axis=-1)
         feats = jnp.concatenate([geom, desc] + sim_parts, axis=-1)
 
-        feats = ConvBNReLU((2 * self.in_channels,) * 3, axis_name=self.axis_name)(feats, train)
+        feats = ConvBNReLU((2 * self.in_channels,) * 3, axis_name=self.axis_name, dtype=self.dtype)(feats, train)
         attn = jax.nn.softmax(jnp.max(feats, axis=-1), axis=-1)   # [B,N,k]
         corres_xyz = jnp.sum(attn[..., None] * src_knn_xyz, axis=2)
         attentive_feats = jnp.sum(attn[..., None] * feats, axis=2)  # [B,N,2C]
 
-        w = MLPHead((2 * self.in_channels,) * 2, 1, axis_name=self.axis_name)(attentive_feats, train)
+        w = MLPHead((2 * self.in_channels,) * 2, 1, axis_name=self.axis_name, dtype=self.dtype)(attentive_feats, train)
         weights = jax.nn.sigmoid(w[..., 0])
 
         if self.mi_outputs:
-            mi_feats = ConvBNReLU((self.in_channels,), axis_name=self.axis_name)(attentive_feats, train)
+            mi_feats = ConvBNReLU((self.in_channels,), axis_name=self.axis_name, dtype=self.dtype)(attentive_feats, train)
             return (corres_xyz, weights, jnp.roll(weights, 1, axis=0),
                     mi_feats, jnp.roll(mi_feats, 1, axis=0))
         if self.return_dists:
@@ -256,6 +268,7 @@ class FineReg(nn.Module):
     in_channels: int
     mi_outputs: bool = False
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, src_xyz, src_feat, dst_xyz, dst_feat,
@@ -275,18 +288,18 @@ class FineReg(nn.Module):
         feats = jnp.concatenate([rela, dist, src_xyz_expand, src_knn_xyz,
                                  src_feat_expand, src_knn_feat,
                                  src_w_expand, src_knn_w], axis=-1)
-        feats = ConvBNReLU((2 * self.in_channels,) * 3, axis_name=self.axis_name)(feats, train)
+        feats = ConvBNReLU((2 * self.in_channels,) * 3, axis_name=self.axis_name, dtype=self.dtype)(feats, train)
         attn = jax.nn.softmax(jnp.max(feats, axis=-1), axis=-1)
         corres_xyz = jnp.sum(attn[..., None] * src_knn_xyz, axis=2)
         attentive_feats = jnp.sum(attn[..., None] * feats, axis=2)   # [B,N,2C]
 
-        w = MLPHead((2 * self.in_channels,) * 2, 1, axis_name=self.axis_name)(attentive_feats, train)
+        w = MLPHead((2 * self.in_channels,) * 2, 1, axis_name=self.axis_name, dtype=self.dtype)(attentive_feats, train)
         weights = jax.nn.sigmoid(w[..., 0])
 
         if not self.mi_outputs:
             return corres_xyz, weights
 
-        mi_feats = ConvBNReLU((self.in_channels,), axis_name=self.axis_name)(attentive_feats, train)
+        mi_feats = ConvBNReLU((self.in_channels,), axis_name=self.axis_name, dtype=self.dtype)(attentive_feats, train)
         mi_feats_prime = jnp.roll(mi_feats, 1, axis=0)
         weights_prime = jnp.roll(weights, 1, axis=0)
         return corres_xyz, weights, weights_prime, mi_feats, mi_feats_prime

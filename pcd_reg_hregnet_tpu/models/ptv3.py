@@ -38,11 +38,14 @@ class SerializedDepthwiseConv(nn.Module):
     """
     channels: int
     kernel: int = 3
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):  # x: [B, N, C] already serialized
-        return nn.Conv(self.channels, kernel_size=(self.kernel,),
-                       feature_group_count=self.channels, padding='SAME')(x)
+        y = nn.Conv(self.channels, kernel_size=(self.kernel,),
+                    feature_group_count=self.channels, padding='SAME',
+                    dtype=self.dtype)(x)
+        return y.astype(x.dtype)
 
 
 class PatchAttention(nn.Module):
@@ -55,6 +58,7 @@ class PatchAttention(nn.Module):
     num_heads: int
     patch_size: int
     qkv_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):  # [B, N, C] serialized
@@ -64,25 +68,29 @@ class PatchAttention(nn.Module):
         d = C // H
         scale = d ** -0.5
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias)(x)      # [B,N,3C]
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype)(x)
         qkv = qkv.reshape(B, N // K, K, 3, H, d)
         q, k, v = jnp.moveaxis(qkv, 3, 0)                      # each [B,P,K,H,d]
-        attn = jnp.einsum('bpkhd,bpmhd->bphkm', q * scale, k)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum('bphkm,bpmhd->bpkhd', attn, v)
+        attn = jnp.einsum('bpkhd,bpmhd->bphkm', q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1)                   # f32 logits
+        out = jnp.einsum('bphkm,bpmhd->bpkhd',
+                         attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(B, N, C)
-        return nn.Dense(C)(out)
+        return nn.Dense(C, dtype=self.dtype)(out).astype(x.dtype)
 
 
 class PTv3Mlp(nn.Module):
     channels: int
     mlp_ratio: float = 4.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(int(self.channels * self.mlp_ratio))(x)
+        h = nn.Dense(int(self.channels * self.mlp_ratio), dtype=self.dtype)(x)
         h = nn.gelu(h)
-        return nn.Dense(self.channels)(h)
+        return nn.Dense(self.channels, dtype=self.dtype)(h).astype(x.dtype)
 
 
 class PTv3Block(nn.Module):
@@ -91,20 +99,22 @@ class PTv3Block(nn.Module):
     num_heads: int
     patch_size: int
     mlp_ratio: float = 4.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         # CPE: serialized depthwise conv + linear + norm, residual
-        cpe = SerializedDepthwiseConv(self.channels)(x)
-        cpe = nn.Dense(self.channels)(cpe)
+        cpe = SerializedDepthwiseConv(self.channels, dtype=self.dtype)(x)
+        cpe = nn.Dense(self.channels, dtype=self.dtype)(cpe).astype(x.dtype)
         cpe = nn.LayerNorm(epsilon=1e-2)(cpe)
         x = x + cpe
 
         h = nn.LayerNorm(epsilon=1e-2)(x)
-        x = x + PatchAttention(self.channels, self.num_heads, self.patch_size)(h)
+        x = x + PatchAttention(self.channels, self.num_heads, self.patch_size,
+                               dtype=self.dtype)(h)
 
         h = nn.LayerNorm(epsilon=1e-2)(x)
-        x = x + PTv3Mlp(self.channels, self.mlp_ratio)(h)
+        x = x + PTv3Mlp(self.channels, self.mlp_ratio, dtype=self.dtype)(h)
         return x
 
 
@@ -257,6 +267,7 @@ class PointTransformerEncoder(nn.Module):
     mlp_ratio: float = 4.0
     grid_size: float = 0.01
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, xyz, feat, train: bool = False):
@@ -269,8 +280,8 @@ class PointTransformerEncoder(nn.Module):
         x = jnp.take_along_axis(feat, order[..., None], axis=1)
 
         # Embedding stem (`ptv3.py:760-795`): serialized conv + norm + GELU
-        x = SerializedDepthwiseConv(x.shape[-1], kernel=5)(x)
-        x = nn.Dense(self.channels)(x)
+        x = SerializedDepthwiseConv(x.shape[-1], kernel=5, dtype=self.dtype)(x)
+        x = nn.Dense(self.channels, dtype=self.dtype)(x).astype(jnp.float32)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.01,
                          epsilon=1e-2, axis_name=self.axis_name)(x)
         x = nn.gelu(x)
@@ -283,6 +294,7 @@ class PointTransformerEncoder(nn.Module):
                 x = nn.gelu(x)
             for _ in range(depth):
                 x = PTv3Block(self.channels, self.num_heads[s],
-                              self.patch_size, self.mlp_ratio)(x)
+                              self.patch_size, self.mlp_ratio,
+                              dtype=self.dtype)(x)
 
         return jnp.take_along_axis(x, inverse[..., None], axis=1)

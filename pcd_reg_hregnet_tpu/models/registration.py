@@ -38,13 +38,14 @@ class HierFeatureExtraction(nn.Module):
     @nn.compact
     def __call__(self, points, train: bool = False):
         cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype != 'float32' else None
         ret = {}
         xyz, feat, weights = points, None, None
         for i, lvl in enumerate(cfg.levels):
             det = KeypointDetector(
                 nsample=lvl.nsample, k=lvl.k, out_channels=lvl.conv_channels,
                 use_fps=cfg.use_fps, axis_name=self.axis_name,
-                name=f'detector_{i + 1}')
+                dtype=dtype, name=f'detector_{i + 1}')
             xyz, sigmas, att_feat, grouped, att_map = det(xyz, feat, weights, train)
 
             if cfg.backbone == 'ptv3':
@@ -53,12 +54,12 @@ class HierFeatureExtraction(nn.Module):
                     num_heads=cfg.ptv3_num_heads,
                     patch_size=cfg.ptv3_patch_sizes[i],
                     mlp_ratio=cfg.ptv3_mlp_ratio, grid_size=cfg.ptv3_grid_size,
-                    axis_name=self.axis_name, name=f'ptv3_{i + 1}')
+                    axis_name=self.axis_name, dtype=dtype, name=f'ptv3_{i + 1}')
                 desc = enc(xyz, att_feat, train)
             else:
                 ext = DescExtractor(out_channels=lvl.conv_channels,
                                     desc_dim=lvl.desc_dim,
-                                    axis_name=self.axis_name,
+                                    axis_name=self.axis_name, dtype=dtype,
                                     name=f'desc_extractor_{i + 1}')
                 desc = ext(grouped, att_map, train)
 
@@ -84,6 +85,7 @@ class RegistrationModel(nn.Module):
     @nn.compact
     def __call__(self, src_points, dst_points, train: bool = False):
         cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype != 'float32' else None
         feat_net = HierFeatureExtraction(cfg, axis_name=self.axis_name,
                                          name='feature_extraction')
         src = feat_net(src_points, train)
@@ -93,7 +95,7 @@ class RegistrationModel(nn.Module):
         coarse = CoarseReg(k=cfg.coarse_k, in_channels=c3,
                            use_sim=cfg.use_sim, use_neighbor=cfg.use_neighbor,
                            return_dists=cfg.circle_dists,
-                           mi_outputs=cfg.mi_from_coarse,
+                           mi_outputs=cfg.mi_from_coarse, dtype=dtype,
                            axis_name=self.axis_name, name='coarse_corres')
 
         if cfg.head == 'regression':
@@ -123,7 +125,7 @@ class RegistrationModel(nn.Module):
         # Level 2
         src_xyz_2t = se3.apply(R3, t3, src['xyz_2'])
         fine2 = FineReg(k=cfg.fine_k, in_channels=cfg.levels[1].desc_dim,
-                        mi_outputs=cfg.mi_from_fine2,
+                        mi_outputs=cfg.mi_from_fine2, dtype=dtype,
                         axis_name=self.axis_name, name='fine_corres_2')
         out2 = fine2(src_xyz_2t, src['desc_2'], dst['xyz_2'], dst['desc_2'],
                      src['sigmas_2'], dst['sigmas_2'], train)
@@ -141,6 +143,7 @@ class RegistrationModel(nn.Module):
         # Level 1
         src_xyz_1t = se3.apply(R2, t2, src['xyz_1'])
         fine1 = FineReg(k=cfg.fine_k, in_channels=cfg.levels[0].desc_dim,
+                        dtype=dtype,
                         axis_name=self.axis_name, name='fine_corres_1')
         corres1, w1 = fine1(src_xyz_1t, src['desc_1'], dst['xyz_1'], dst['desc_1'],
                             src['sigmas_1'], dst['sigmas_1'], train)

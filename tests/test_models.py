@@ -153,3 +153,27 @@ class TestFullPTv3:
         v = pool.init(jax.random.PRNGKey(2), xyz, x, False)
         (nxyz, nx), _ = pool.apply(v, xyz, x, True, mutable=['batch_stats'])
         assert nxyz.shape == (2, 32, 3) and nx.shape == (2, 32, 32)
+
+
+class TestMixedPrecision:
+    def test_bf16_compute_forward_close_to_f32(self):
+        """compute_dtype='bfloat16' runs and stays close to the f32 pose."""
+        src, dst = make_inputs()
+        m32 = RegistrationModel(small_cfg('hregnet'))
+        v = m32.init(jax.random.PRNGKey(0), src, dst, train=False)
+        out32 = m32.apply(v, src, dst, train=False)
+
+        m16 = RegistrationModel(small_cfg('hregnet', compute_dtype='bfloat16'))
+        out16 = m16.apply(v, src, dst, train=False)
+        for R, t in zip(out16['rotation'], out16['translation']):
+            assert R.dtype == jnp.float32 and t.dtype == jnp.float32
+            assert bool(jnp.isfinite(R).all()) and bool(jnp.isfinite(t).all())
+        # deeper levels diverge discretely (bf16 perturbs the WFPS weights and
+        # hence which points are re-sampled), so compare the *continuous*
+        # level-1 path: FPS/kNN run in f32 and are identical, and the
+        # attention-weighted keypoints should agree to centimetres on
+        # +/-20 m clouds
+        kp32 = out32['src_feats']['xyz_1']
+        kp16 = out16['src_feats']['xyz_1']
+        mean_dev = float(jnp.mean(jnp.linalg.norm(kp32 - kp16, axis=-1)))
+        assert mean_dev < 0.1, mean_dev
