@@ -27,9 +27,13 @@ def pairwise_sqdist(query: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
 
 
 _TWO_STAGE_CHUNK = 512
+# Exact selection: single full-row top_k up to this N (measured faster than
+# chunked two-stage below it — the [B, M, c, chunk] reshape lowers badly
+# when c is small: 9.4 ms vs 1.9 ms at B4 x M512 x N1024 x k32).
+_SINGLE_TOPK_MAX_N = 2048
 # Rows at least this wide take the approximate PartialReduce path when
-# `approx` is unset.  Below it the exact two-stage top-k is already fast.
-_APPROX_MIN_N = 4096
+# `approx` is unset.  Below it exact selection is already ~1 ms.
+_APPROX_MIN_N = 1024
 _APPROX_RECALL_TARGET = 0.95
 
 
@@ -49,10 +53,11 @@ def knn(query: jnp.ndarray, database: jnp.ndarray, k: int,
       (every true neighbour is in its chunk's top-k) and sorts only
       chunk-width rows — ~2x faster at these shapes.
 
-    * **approximate** (`approx=True`, and the default for N >= 4096):
+    * **approximate** (`approx=True`, and the default for N >= 1024):
       `jax.lax.approx_min_k`, which lowers to the TPU's dedicated
       PartialReduce unit (3.8 ms vs 12 ms exact at B4 x M1024 x N8096,
-      measured recall 0.991 at recall_target 0.95).  Returned distances
+      0.9 ms vs 1.9 ms at B4 x M512 x N1024 x k32; measured recall 0.991
+      at recall_target 0.95).  Returned distances
       are exact for the selected elements; only the selected *set* is
       approximate.  On backends without PartialReduce (CPU) XLA falls
       back to an exact sort, so unit tests on the CPU backend see exact
@@ -76,7 +81,7 @@ def knn(query: jnp.ndarray, database: jnp.ndarray, k: int,
         return dists, idx.astype(jnp.int32)
     B, M, N = d2.shape
     chunk = _TWO_STAGE_CHUNK
-    if N <= max(2 * k, chunk):
+    if N <= max(2 * k, _SINGLE_TOPK_MAX_N):
         neg_d, idx = jax.lax.top_k(-d2, k)
         return -neg_d, idx.astype(jnp.int32)
 
