@@ -34,17 +34,21 @@ _SINGLE_TOPK_MAX_N = 2048
 # Rows at least this wide take the approximate PartialReduce path when
 # `approx` is unset.  Below it exact selection is already ~1 ms.
 _APPROX_MIN_N = 1024
-_APPROX_RECALL_TARGET = 0.95
+# recall_target 0.9 measures 0.975 actual recall at k64 x N8096 and is ~3x
+# faster than 0.95 (2.0 ms vs 5.9 ms at B8): the PartialReduce reduction
+# width is derived from the target, and 0.95 crosses into a much wider
+# candidate aggregation.  Override per call for recall-sensitive sites.
+_APPROX_RECALL_TARGET = 0.9
 
 
-@partial(jax.jit, static_argnames=('k', 'approx'))
+@partial(jax.jit, static_argnames=('k', 'approx', 'recall_target'))
 def knn(query: jnp.ndarray, database: jnp.ndarray, k: int,
-        approx: bool | None = None):
+        approx: bool | None = None, recall_target: float | None = None):
     """k nearest neighbours of each query point in the database.
 
     Two selection strategies over the dense [B, M, N] distance matrix:
 
-    * **exact** (`approx=False`, and the default for N < 4096): two-stage
+    * **exact** (`approx=False`, and the default for N < 1024): two-stage
       top-k.  XLA lowers a single `top_k` over the full matrix to a
       whole-row sort pipeline that materialises several N-wide
       intermediates (measured ~1.6 GB of HBM traffic and ~27 ms for
@@ -56,8 +60,8 @@ def knn(query: jnp.ndarray, database: jnp.ndarray, k: int,
     * **approximate** (`approx=True`, and the default for N >= 1024):
       `jax.lax.approx_min_k`, which lowers to the TPU's dedicated
       PartialReduce unit (3.8 ms vs 12 ms exact at B4 x M1024 x N8096,
-      0.9 ms vs 1.9 ms at B4 x M512 x N1024 x k32; measured recall 0.991
-      at recall_target 0.95).  Returned distances
+      0.9 ms vs 1.9 ms at B4 x M512 x N1024 x k32; measured recall 0.975
+      at the default recall_target 0.9).  Returned distances
       are exact for the selected elements; only the selected *set* is
       approximate.  On backends without PartialReduce (CPU) XLA falls
       back to an exact sort, so unit tests on the CPU backend see exact
@@ -77,7 +81,7 @@ def knn(query: jnp.ndarray, database: jnp.ndarray, k: int,
         approx = database.shape[1] >= _APPROX_MIN_N
     if approx and k <= database.shape[1]:
         dists, idx = jax.lax.approx_min_k(
-            d2, k, recall_target=_APPROX_RECALL_TARGET)
+            d2, k, recall_target=recall_target or _APPROX_RECALL_TARGET)
         return dists, idx.astype(jnp.int32)
     B, M, N = d2.shape
     chunk = _TWO_STAGE_CHUNK
@@ -98,9 +102,26 @@ def knn(query: jnp.ndarray, database: jnp.ndarray, k: int,
     return -neg_d2, idx
 
 
+# Use the one-hot-matmul gather whenever the row width is at most this: the
+# MXU contraction beats the TPU's serialized dynamic-gather lowering (0.7 ms
+# vs 2.2 ms for B4 x 65536 rows x N8096 x C3), and its transpose turns the
+# backward scatter-add into another dense matmul.  XLA fuses the iota-compare
+# one-hot into the matmul, so the [rows, N] indicator is never materialised.
+_ONEHOT_GATHER_MAX_N = 16384
+
+
 def knn_gather(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather neighbour features: [B, N, C] x [B, M, k] -> [B, M, k, C]."""
+    """Gather neighbour features: [B, N, C] x [B, M, k] -> [B, M, k, C].
+
+    On accelerator backends this is a one-hot einsum riding the MXU (exact:
+    the indicator is 1.0f and every other term is +0.0f); the CPU backend
+    keeps the `take_along_axis` lowering.
+    """
     B, M, k = idx.shape
+    N = data.shape[1]
+    if jax.default_backend() != 'cpu' and N <= _ONEHOT_GATHER_MAX_N:
+        onehot = jax.nn.one_hot(idx, N, dtype=data.dtype)     # [B,M,k,N]
+        return jnp.einsum('bmkn,bnc->bmkc', onehot, data)
     flat = jnp.take_along_axis(data, idx.reshape(B, M * k, 1), axis=1)
     return flat.reshape(B, M, k, data.shape[-1])
 

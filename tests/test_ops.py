@@ -66,6 +66,32 @@ class TestKNN:
         np.testing.assert_allclose(np.asarray(d2),
                                    np.take_along_axis(full, ref_idx, -1), atol=1e-5)
 
+    def test_policy_branches_agree(self):
+        # every selection strategy (single top_k, chunked two-stage,
+        # approx PartialReduce) must return the same neighbour sets on the
+        # CPU backend, across the N thresholds that pick between them
+        for n, k in ((200, 8), (1500, 16), (5000, 32)):
+            q = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 3))
+            db = jax.random.uniform(jax.random.PRNGKey(2), (2, n, 3))
+            d_auto, i_auto = knn_mod.knn(q, db, k)
+            d_ex, i_ex = knn_mod.knn(q, db, k, approx=False)
+            assert np.all(np.diff(np.asarray(d_ex), axis=-1) >= -1e-6)
+            for b in range(2):
+                for m in range(0, 32, 5):
+                    assert set(np.asarray(i_auto)[b, m]) == set(np.asarray(i_ex)[b, m])
+
+    def test_knn_gather_onehot_path_matches(self):
+        # force the one-hot einsum path (used on accelerator backends) and
+        # check it against take_along_axis
+        data = jax.random.normal(jax.random.PRNGKey(3), (2, 50, 7))
+        idx = jax.random.randint(jax.random.PRNGKey(4), (2, 10, 4), 0, 50)
+        onehot = jax.nn.one_hot(idx, 50, dtype=data.dtype)
+        via_matmul = jnp.einsum('bmkn,bnc->bmkc', onehot, data)
+        via_gather = jnp.take_along_axis(
+            data, idx.reshape(2, 40, 1), axis=1).reshape(2, 10, 4, 7)
+        np.testing.assert_allclose(np.asarray(via_matmul),
+                                   np.asarray(via_gather), atol=0)
+
     def test_knn_group_features(self):
         key = jax.random.PRNGKey(7)
         xyz1 = jax.random.uniform(key, (1, 8, 3))
