@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 REFERENCE_PAIRS_PER_SEC_ESTIMATE = 10.0
 BATCH = 8          # measured throughput sweet spot on one v5e chip
-                   # (B=1: 218, B=4: 226, B=8: 237, B=16: 226, B=32: 187 pairs/s)
+                   # (B=4: 469, B=8: 553, B=16: 508, B=32: 478 pairs/s after blocked gathers)
 N_POINTS = 8096
 ITERS = 40
 

@@ -19,15 +19,14 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import se3
-from ..ops.neighbors import pairwise_sqdist
+from ..ops.neighbors import _gather_rows, knn, pairwise_sqdist
 from ..ops.procrustes import weighted_kabsch
 
 
 def _nn(src: jnp.ndarray, dst: jnp.ndarray):
     """Nearest neighbour of each src point in dst: (sqdist [B,N], idx [B,N])."""
     d2 = pairwise_sqdist(src, dst)
-    idx = jnp.argmin(d2, axis=-1)
-    return jnp.take_along_axis(d2, idx[..., None], axis=-1)[..., 0], idx
+    return jnp.min(d2, axis=-1), jnp.argmin(d2, axis=-1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=('max_iters',))
@@ -39,7 +38,7 @@ def icp_point_to_point(src: jnp.ndarray, dst: jnp.ndarray,
     def step(_, T):
         cur = se3.transform(T, src)
         d2, idx = _nn(cur, dst)
-        corres = jnp.take_along_axis(dst, idx[..., None], axis=1)
+        corres = _gather_rows(dst, idx)
         w = (d2 < threshold * threshold).astype(src.dtype)
         # guard: if everything is rejected fall back to uniform weights
         any_w = jnp.sum(w, axis=1, keepdims=True) > 0
@@ -54,10 +53,9 @@ def icp_point_to_point(src: jnp.ndarray, dst: jnp.ndarray,
 def estimate_normals(points: jnp.ndarray, k: int = 16) -> jnp.ndarray:
     """Per-point normals via local PCA (smallest-eigenvector of the kNN
     covariance).  Replaces Open3D's estimate_normals for point-to-plane."""
-    d2 = pairwise_sqdist(points, points)
-    _, idx = jax.lax.top_k(-d2, k)
+    _, idx = knn(points, points, k)
     B, N, _ = points.shape
-    nbrs = jnp.take_along_axis(points, idx.reshape(B, N * k, 1), axis=1)
+    nbrs = _gather_rows(points, idx.reshape(B, N * k))
     nbrs = nbrs.reshape(B, N, k, 3)
     centered = nbrs - jnp.mean(nbrs, axis=2, keepdims=True)
     cov = jnp.einsum('bnki,bnkj->bnij', centered, centered) / k
@@ -79,8 +77,9 @@ def icp_point_to_plane(src: jnp.ndarray, dst: jnp.ndarray,
     def step(_, T):
         cur = se3.transform(T, src)
         d2, idx = _nn(cur, dst)
-        q = jnp.take_along_axis(dst, idx[..., None], axis=1)        # [B,N,3]
-        n = jnp.take_along_axis(dst_normals, idx[..., None], axis=1)
+        # fused single gather of [dst | normals] (one indicator pass)
+        qn_ = _gather_rows(jnp.concatenate([dst, dst_normals], -1), idx)
+        q, n = qn_[..., :3], qn_[..., 3:]
         w = (d2 < threshold * threshold).astype(src.dtype)
         any_w = jnp.sum(w, axis=1, keepdims=True) > 0
         w = jnp.where(any_w, w, jnp.ones_like(w))

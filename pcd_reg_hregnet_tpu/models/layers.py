@@ -184,15 +184,19 @@ class CoarseReg(nn.Module):
         B, N, C = src_desc.shape
         k = self.k
         _, knn_idx = knn(src_desc, dst_desc, k)          # desc-space kNN
-        src_knn_desc = knn_gather(dst_desc, knn_idx)      # [B,N,k,C]
-        src_knn_xyz = knn_gather(dst_xyz, knn_idx)        # [B,N,k,3]
+        # one fused gather of [xyz | desc | weight]: indicator generation
+        # dominates gather cost, so pay it once (see ops.neighbors._gather_rows)
+        g = knn_gather(jnp.concatenate(
+            [dst_xyz, dst_desc, dst_weights[..., None]], axis=-1), knn_idx)
+        src_knn_xyz = g[..., :3]                          # [B,N,k,3]
+        src_knn_desc = g[..., 3:3 + C]                    # [B,N,k,C]
+        src_knn_w = g[..., 3 + C:]                        # [B,N,k,1]
 
         src_xyz_expand = jnp.broadcast_to(src_xyz[:, :, None, :], (B, N, k, 3))
         src_desc_expand = jnp.broadcast_to(src_desc[:, :, None, :], (B, N, k, C))
         src_rela_xyz = src_knn_xyz - src_xyz_expand
         src_rela_dist = _safe_dist(src_rela_xyz)
         src_w_expand = jnp.broadcast_to(src_weights[:, :, None, None], (B, N, k, 1))
-        src_knn_w = knn_gather(dst_weights[..., None], knn_idx)
 
         sim_parts = []
         feats_dist = None
@@ -213,8 +217,8 @@ class CoarseReg(nn.Module):
 
             def nbr_desc(xyz, desc):
                 _, nbr_idx = knn(xyz, xyz, k)
-                nbr_feats = knn_gather(desc, nbr_idx)     # [B,N,k,C]
-                nbr_xyz = knn_gather(xyz, nbr_idx)
+                ng = knn_gather(jnp.concatenate([xyz, desc], -1), nbr_idx)
+                nbr_xyz, nbr_feats = ng[..., :3], ng[..., 3:]
                 rela = nbr_xyz - xyz[:, :, None, :]
                 dist = _safe_dist(rela)
                 x = jnp.concatenate([nbr_feats, rela, dist], axis=-1)
@@ -276,14 +280,14 @@ class FineReg(nn.Module):
         B, N, C = src_feat.shape
         k = self.k
         _, knn_idx = knn(src_xyz, dst_xyz, k)
-        src_knn_xyz = knn_gather(dst_xyz, knn_idx)
-        src_knn_feat = knn_gather(dst_feat, knn_idx)
+        g = knn_gather(jnp.concatenate(
+            [dst_xyz, dst_feat, dst_weights[..., None]], axis=-1), knn_idx)
+        src_knn_xyz, src_knn_feat, src_knn_w = g[..., :3], g[..., 3:3 + C], g[..., 3 + C:]
         src_xyz_expand = jnp.broadcast_to(src_xyz[:, :, None, :], (B, N, k, 3))
         src_feat_expand = jnp.broadcast_to(src_feat[:, :, None, :], (B, N, k, C))
         rela = src_knn_xyz - src_xyz_expand
         dist = _safe_dist(rela)
         src_w_expand = jnp.broadcast_to(src_weights[:, :, None, None], (B, N, k, 1))
-        src_knn_w = knn_gather(dst_weights[..., None], knn_idx)
 
         feats = jnp.concatenate([rela, dist, src_xyz_expand, src_knn_xyz,
                                  src_feat_expand, src_knn_feat,

@@ -102,28 +102,62 @@ def knn(query: jnp.ndarray, database: jnp.ndarray, k: int,
     return -neg_d2, idx
 
 
-# Use the one-hot-matmul gather whenever the row width is at most this: the
-# MXU contraction beats the TPU's serialized dynamic-gather lowering (0.7 ms
-# vs 2.2 ms for B4 x 65536 rows x N8096 x C3), and its transpose turns the
-# backward scatter-add into another dense matmul.  XLA fuses the iota-compare
-# one-hot into the matmul, so the [rows, N] indicator is never materialised.
-_ONEHOT_GATHER_MAX_N = 16384
+# Gather strategy on accelerators.  The one-hot-matmul gather beats the
+# TPU's serialized dynamic-gather lowering (0.7 ms vs 2.2 ms for
+# B4 x 65536 rows x N8096 x C3), but generating the [rows, N] indicator is
+# VPU-bound: rows*N compare/select lanes dominate (4.0 ms at
+# B8 x 65536 x 8096 — dtype of the matmul is irrelevant, measured).  Above
+# `_BLOCKED_GATHER_MIN_N` a two-stage *blocked* gather splits idx into
+# (block, offset) digits: stage 1 gathers whole S-point blocks with an
+# [rows, N/S] indicator, stage 2 selects within the block with an [rows, S]
+# indicator — rows*(N/S + S) indicator lanes, ~40x less VPU work, bit-exact
+# (measured 1.26 ms vs 3.97 ms at the detector-L1 shape, S=8).  For small N
+# with wide C the stage-1 [rows, S, C] intermediate costs more than the
+# plain indicator, so small N keeps the single one-hot.
+_BLOCKED_GATHER_MIN_N = 4096
+_GATHER_BLOCK = 8
+
+
+def _gather_impl() -> str:
+    """'taa' (take_along_axis), 'onehot', 'blocked', or 'auto' (default:
+    taa on CPU, one-hot/blocked by N on accelerators).  Override with
+    PCD_REG_GATHER_IMPL for tests/debugging."""
+    import os
+    return os.environ.get('PCD_REG_GATHER_IMPL', 'auto')
+
+
+def _gather_rows(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather [B, N, C] x [B, R] -> [B, R, C] (int32 idx)."""
+    B, N, C = data.shape
+    impl = _gather_impl()
+    if impl == 'taa' or (impl == 'auto' and jax.default_backend() == 'cpu'):
+        return jnp.take_along_axis(data, idx[..., None], axis=1)
+    if impl == 'onehot' or (impl != 'blocked' and N < _BLOCKED_GATHER_MIN_N):
+        onehot = jax.nn.one_hot(idx, N, dtype=data.dtype)     # [B,R,N]
+        return jnp.einsum('brn,bnc->brc', onehot, data)
+    S = _GATHER_BLOCK
+    pad = (-N) % S
+    if pad:
+        data = jnp.pad(data, ((0, 0), (0, pad), (0, 0)))
+    nb = (N + pad) // S
+    blocks = data.reshape(B, nb, S * C)
+    oh_hi = jax.nn.one_hot(idx // S, nb, dtype=data.dtype)    # [B,R,nb]
+    g1 = jnp.einsum('brn,bnd->brd', oh_hi, blocks)            # [B,R,S*C]
+    g1 = g1.reshape(B, idx.shape[1], S, C)
+    oh_lo = jax.nn.one_hot(idx % S, S, dtype=data.dtype)      # [B,R,S]
+    return jnp.einsum('brs,brsc->brc', oh_lo, g1)
 
 
 def knn_gather(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather neighbour features: [B, N, C] x [B, M, k] -> [B, M, k, C].
 
-    On accelerator backends this is a one-hot einsum riding the MXU (exact:
-    the indicator is 1.0f and every other term is +0.0f); the CPU backend
-    keeps the `take_along_axis` lowering.
+    On accelerator backends this is a (blocked) one-hot einsum riding the
+    MXU (exact: the indicator is 1.0f and every other term is +0.0f); the
+    CPU backend keeps the `take_along_axis` lowering.  See `_gather_rows`.
     """
     B, M, k = idx.shape
-    N = data.shape[1]
-    if jax.default_backend() != 'cpu' and N <= _ONEHOT_GATHER_MAX_N:
-        onehot = jax.nn.one_hot(idx, N, dtype=data.dtype)     # [B,M,k,N]
-        return jnp.einsum('bmkn,bnc->bmkc', onehot, data)
-    flat = jnp.take_along_axis(data, idx.reshape(B, M * k, 1), axis=1)
-    return flat.reshape(B, M, k, data.shape[-1])
+    out = _gather_rows(data, idx.reshape(B, M * k))
+    return out.reshape(B, M, k, data.shape[-1])
 
 
 @partial(jax.jit, static_argnames=('k', 'approx'))
@@ -143,12 +177,16 @@ def knn_group(xyz1: jnp.ndarray, xyz2: jnp.ndarray, features2, k: int,
         knn_xyz: [B, M, k, 3] neighbour coordinates.
     """
     _, idx = knn(xyz1, xyz2, k, approx=approx)
-    knn_xyz = knn_gather(xyz2, idx)                     # [B,M,k,3]
+    # single fused gather of [xyz | features]: one indicator pass instead of
+    # two (the indicator generation dominates gather cost — see _gather_rows)
+    db = xyz2 if features2 is None else jnp.concatenate([xyz2, features2], axis=-1)
+    g = knn_gather(db, idx)                             # [B,M,k,3+C]
+    knn_xyz = g[..., :3]
     rela_xyz = knn_xyz - xyz1[:, :, None, :]            # [B,M,k,3]
     # sqrt with epsilon: query points may be exact database points (FPS
     # keypoints are), and norm-at-zero has a NaN gradient
     rela_dist = jnp.sqrt(jnp.sum(rela_xyz * rela_xyz, axis=-1, keepdims=True) + 1e-12)
     parts = [rela_xyz, rela_dist]
     if features2 is not None:
-        parts.append(knn_gather(features2, idx))
+        parts.append(g[..., 3:])
     return jnp.concatenate(parts, axis=-1), knn_xyz

@@ -98,7 +98,10 @@ def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather along the point axis: [B, N, C] x [B, M] -> [B, M, C].
 
     Equivalent of `gather_points_kernel_fast` + its atomicAdd backward
-    (`furthest_point_sampling_gpu.cu:7-73`); in JAX the VJP of
-    `take_along_axis` is the scatter-add, so no custom backward is needed.
+    (`furthest_point_sampling_gpu.cu:7-73`); in JAX the VJP of the gather is
+    the scatter-add (a transposed matmul on the one-hot paths), so no custom
+    backward is needed.  Accelerators take the (blocked) one-hot-einsum path
+    in `ops.neighbors._gather_rows`; CPU keeps `take_along_axis`.
     """
-    return jnp.take_along_axis(points, idx[..., None], axis=1)
+    from .neighbors import _gather_rows
+    return _gather_rows(points, idx)

@@ -80,17 +80,19 @@ class TestKNN:
                 for m in range(0, 32, 5):
                     assert set(np.asarray(i_auto)[b, m]) == set(np.asarray(i_ex)[b, m])
 
-    def test_knn_gather_onehot_path_matches(self):
-        # force the one-hot einsum path (used on accelerator backends) and
-        # check it against take_along_axis
-        data = jax.random.normal(jax.random.PRNGKey(3), (2, 50, 7))
-        idx = jax.random.randint(jax.random.PRNGKey(4), (2, 10, 4), 0, 50)
-        onehot = jax.nn.one_hot(idx, 50, dtype=data.dtype)
-        via_matmul = jnp.einsum('bmkn,bnc->bmkc', onehot, data)
-        via_gather = jnp.take_along_axis(
-            data, idx.reshape(2, 40, 1), axis=1).reshape(2, 10, 4, 7)
-        np.testing.assert_allclose(np.asarray(via_matmul),
-                                   np.asarray(via_gather), atol=0)
+    def test_knn_gather_accelerator_paths_match(self, monkeypatch):
+        # the one-hot and two-stage blocked gathers (accelerator paths) must
+        # be bit-exact against take_along_axis, including non-multiple-of-
+        # block N (padding branch)
+        for n in (50, 4099, 4104):
+            data = jax.random.normal(jax.random.PRNGKey(3), (2, n, 7))
+            idx = jax.random.randint(jax.random.PRNGKey(4), (2, 10, 4), 0, n)
+            monkeypatch.setenv('PCD_REG_GATHER_IMPL', 'taa')
+            ref = np.asarray(knn_mod.knn_gather(data, idx))
+            for impl in ('onehot', 'blocked'):
+                monkeypatch.setenv('PCD_REG_GATHER_IMPL', impl)
+                got = np.asarray(knn_mod.knn_gather(data, idx))
+                np.testing.assert_array_equal(got, ref, err_msg=f'{impl} N={n}')
 
     def test_knn_group_features(self):
         key = jax.random.PRNGKey(7)
