@@ -30,6 +30,9 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument('--npoints', type=int, default=None)
     p.add_argument('--log-dir', default='runs')
     p.add_argument('--use-wandb', action='store_true')
+    p.add_argument('--debug-scale', action='store_true',
+                   help='shrink the keypoint pyramid (64/32/16 samples) and '
+                        'PTv3 stack for CPU smoke runs / CI')
 
 
 def _build_config(args):
@@ -52,10 +55,21 @@ def _build_config(args):
         train_over['seed'] = args.seed
     if args.use_wandb:
         train_over['use_wandb'] = True
-    return dataclasses.replace(
+    cfg = dataclasses.replace(
         cfg,
         data=dataclasses.replace(cfg.data, **data_over),
         train=dataclasses.replace(cfg.train, **train_over))
+    if getattr(args, 'debug_scale', False):
+        from .core.config import LevelConfig
+        model_over = dict(levels=(LevelConfig(64, 16, (16, 16, 32), 32),
+                                  LevelConfig(32, 8, (32, 32, 64), 64),
+                                  LevelConfig(16, 8, (64, 64, 128), 128)))
+        if cfg.model.backbone == 'ptv3':
+            model_over.update(ptv3_patch_sizes=(16, 16, 16), ptv3_depths=(1,),
+                              ptv3_num_heads=(2,))
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, **model_over))
+    return cfg
 
 
 def main(argv=None) -> int:
