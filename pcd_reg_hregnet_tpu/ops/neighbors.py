@@ -160,6 +160,59 @@ def knn_gather(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(B, M, k, data.shape[-1])
 
 
+@partial(jax.jit, static_argnames=('k',))
+def ball_query(query: jnp.ndarray, database: jnp.ndarray, radius: float,
+               k: int):
+    """Fixed-radius neighbourhood query (PointNet++-style ball query).
+
+    TPU-native equivalent of the ball-query grouping op family the
+    reference's PointUtils kernels belong to (the reference itself groups
+    with kNN — `models/HRegNet/layers.py:20` — but ball query is part of
+    the same CUDA op suite).  Returns up to `k` neighbours within
+    `radius`; rows with fewer than `k` in-radius points repeat their
+    first valid neighbour (the CUDA convention), and a validity mask is
+    returned for callers that need exact counts.
+
+    Dense distance matrix + top_k of the masked distances: out-of-radius
+    entries are pushed to +inf so the k nearest *in-radius* points win —
+    identical selection to the sequential CUDA scan up to tie order.
+
+    Returns:
+        idx [B, M, k] int32, mask [B, M, k] bool (True = within radius).
+    """
+    d2 = pairwise_sqdist(query, database)
+    r2 = radius * radius
+    masked = jnp.where(d2 <= r2, d2, jnp.inf)
+    neg_d, idx = jax.lax.top_k(-masked, k)
+    mask = jnp.isfinite(neg_d)
+    # CUDA convention: pad short rows with the first valid neighbour
+    first = idx[..., :1]
+    idx = jnp.where(mask, idx, first)
+    return idx.astype(jnp.int32), mask
+
+
+@partial(jax.jit, static_argnames=())
+def three_nn_interpolate(query: jnp.ndarray, database: jnp.ndarray,
+                         features: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-distance-weighted 3-NN feature interpolation.
+
+    The PointNet++ `three_nn` + `three_interpolate` pair (the upsampling
+    counterpart of the reference's PointUtils gather kernels): each query
+    point receives the distance-weighted average of the features of its 3
+    nearest database points.
+
+    Args:
+        query [B, M, 3]; database [B, N, 3]; features [B, N, C].
+    Returns:
+        [B, M, C] interpolated features.
+    """
+    d2, idx = knn(query, database, 3, approx=False)
+    w = 1.0 / (d2 + 1e-8)                                  # [B,M,3]
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    neigh = knn_gather(features, idx)                      # [B,M,3,C]
+    return jnp.einsum('bmk,bmkc->bmc', w, neigh)
+
+
 @partial(jax.jit, static_argnames=('k', 'approx'))
 def knn_group(xyz1: jnp.ndarray, xyz2: jnp.ndarray, features2, k: int,
               approx: bool | None = None):

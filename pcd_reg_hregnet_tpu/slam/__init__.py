@@ -1,4 +1,6 @@
-from .pose_graph import (PoseGraph, chi2, distributed_optimize, optimize,
-                         residuals)
+from .pose_graph import (PartitionedGraph, PoseGraph, chi2,
+                         distributed_optimize, optimize, partition_graph,
+                         residuals, schur_optimize)
 
-__all__ = ['PoseGraph', 'optimize', 'distributed_optimize', 'residuals', 'chi2']
+__all__ = ['PoseGraph', 'optimize', 'distributed_optimize', 'residuals',
+           'chi2', 'PartitionedGraph', 'partition_graph', 'schur_optimize']

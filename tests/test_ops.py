@@ -108,6 +108,58 @@ class TestKNN:
             np.linalg.norm(np.asarray(grouped[..., :3]), axis=-1), atol=1e-5)
 
 
+class TestBallQuery:
+    def test_matches_numpy_reference(self):
+        q = np.asarray(jax.random.uniform(jax.random.PRNGKey(11), (2, 12, 3)))
+        db = np.asarray(jax.random.uniform(jax.random.PRNGKey(12), (2, 64, 3)))
+        radius, k = 0.35, 6
+        idx, mask = knn_mod.ball_query(jnp.asarray(q), jnp.asarray(db), radius, k)
+        idx, mask = np.asarray(idx), np.asarray(mask)
+        full = ((q[:, :, None] - db[:, None]) ** 2).sum(-1)
+        for b in range(2):
+            for m in range(12):
+                in_r = np.where(full[b, m] <= radius * radius)[0]
+                want = in_r[np.argsort(full[b, m][in_r])][:k]
+                nvalid = min(len(want), k)
+                assert mask[b, m].sum() == nvalid
+                np.testing.assert_array_equal(idx[b, m][:nvalid], want[:nvalid])
+                if nvalid:  # short rows repeat the first valid neighbour
+                    assert (idx[b, m][nvalid:] == idx[b, m][0]).all()
+
+    def test_all_out_of_radius_row_masked(self):
+        q = jnp.ones((1, 2, 3)) * 100.0
+        db = jnp.zeros((1, 8, 3))
+        idx, mask = knn_mod.ball_query(q, db, 0.5, 4)
+        assert not np.asarray(mask).any()
+
+
+class TestThreeNNInterpolate:
+    def test_matches_numpy_reference(self):
+        q = np.asarray(jax.random.uniform(jax.random.PRNGKey(13), (2, 10, 3)))
+        db = np.asarray(jax.random.uniform(jax.random.PRNGKey(14), (2, 40, 3)))
+        f = np.asarray(jax.random.normal(jax.random.PRNGKey(15), (2, 40, 5)))
+        out = np.asarray(knn_mod.three_nn_interpolate(
+            jnp.asarray(q), jnp.asarray(db), jnp.asarray(f)))
+        full = ((q[:, :, None] - db[:, None]) ** 2).sum(-1)
+        for b in range(2):
+            for m in range(10):
+                nn3 = np.argsort(full[b, m])[:3]
+                w = 1.0 / (full[b, m][nn3] + 1e-8)
+                w = w / w.sum()
+                # d2 from the matmul identity differs from direct (q-d)^2 at
+                # f32 lsb level; the inverse-distance weights amplify it
+                np.testing.assert_allclose(out[b, m], (w[:, None] * f[b, nn3]).sum(0),
+                                           rtol=1e-3, atol=1e-4)
+
+    def test_exact_at_database_points(self):
+        # interpolating at the database points themselves reproduces the
+        # features (the zero-distance weight dominates)
+        db = jax.random.uniform(jax.random.PRNGKey(16), (1, 20, 3))
+        f = jax.random.normal(jax.random.PRNGKey(17), (1, 20, 4))
+        out = knn_mod.three_nn_interpolate(db, db, f)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(f), atol=1e-4)
+
+
 class TestWeightedKabsch:
     def test_recovers_exact_transform(self):
         key = jax.random.PRNGKey(10)

@@ -100,3 +100,67 @@ class TestPoseGraph:
         multi = distributed_optimize(padded, mesh, iters=8)
         np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
                                    rtol=1e-4, atol=1e-4)
+
+
+def make_chunked_graph(key, P=4, L=6, noise=0.03):
+    """Ground-truth trajectory of K = P*L poses with chunk-local odometry,
+    boundary (separator-separator) cross-chunk links, and a long loop
+    closure between separators — the structure schur_optimize expects."""
+    K = P * L
+    ks = jax.random.split(key, 4)
+    twists = jax.random.normal(ks[0], (K - 1, 6)) * 0.3
+    gt = [jnp.eye(4)]
+    for i in range(K - 1):
+        gt.append(gt[-1] @ se3.exp(twists[i]))
+    gt = jnp.stack(gt)
+
+    edges_i, edges_j = [], []
+    for i in range(K - 1):
+        edges_i.append(i); edges_j.append(i + 1)   # odometry (boundary pairs cross)
+    # in-chunk shortcut closures (interior-to-interior is fine within a chunk)
+    for p in range(P):
+        edges_i.append(p * L + 1); edges_j.append(p * L + L - 2)
+    # long loop closure between separators: pose 0 (sep) <-> last pose (sep)
+    edges_i.append(0); edges_j.append(K - 1)
+    Z = jnp.stack([se3.inverse(gt[a]) @ gt[b] for a, b in zip(edges_i, edges_j)])
+    M = len(edges_i)
+    Z = Z @ se3.exp(jax.random.normal(ks[1], (M, 6)) * noise)
+    init = gt @ se3.exp(jax.random.normal(ks[2], (K, 6)) * 0.25)
+    init = init.at[0].set(gt[0])
+    graph = PoseGraph(init, jnp.asarray(edges_i, jnp.int32),
+                      jnp.asarray(edges_j, jnp.int32), Z, jnp.ones((M,)))
+    return graph, gt
+
+
+class TestSchurOptimize:
+    def test_matches_dense_solve(self):
+        from pcd_reg_hregnet_tpu.slam import partition_graph, schur_optimize
+        graph, _ = make_chunked_graph(jax.random.PRNGKey(5))
+        mesh = make_mesh(4)
+        pg = partition_graph(graph, 4)
+        dense = optimize(graph, iters=10)
+        schur = schur_optimize(pg, mesh, iters=10)
+        # both reach the same optimum (same normal equations, exact
+        # elimination); compare converged poses
+        np.testing.assert_allclose(np.asarray(dense), np.asarray(schur),
+                                   rtol=1e-3, atol=1e-3)
+        assert float(chi2(schur, graph)) <= float(chi2(graph.poses, graph)) * 0.1
+
+    def test_zero_noise_recovers_gt(self):
+        from pcd_reg_hregnet_tpu.slam import partition_graph, schur_optimize
+        graph, gt = make_chunked_graph(jax.random.PRNGKey(6), noise=0.0)
+        out = schur_optimize(partition_graph(graph, 4), make_mesh(4), iters=15)
+        err = se3.inverse(out) @ gt
+        assert float(jnp.linalg.norm(err[:, :3, 3], axis=-1).max()) < 1e-3
+
+    def test_partitioner_rejects_interior_cross_edge(self):
+        import pytest
+        from pcd_reg_hregnet_tpu.slam import partition_graph
+        graph, _ = make_chunked_graph(jax.random.PRNGKey(7))
+        bad = PoseGraph(graph.poses,
+                        jnp.concatenate([graph.edges_i, jnp.array([2], jnp.int32)]),
+                        jnp.concatenate([graph.edges_j, jnp.array([14], jnp.int32)]),
+                        jnp.concatenate([graph.measurements, jnp.eye(4)[None]]),
+                        jnp.concatenate([graph.weights, jnp.ones(1)]))
+        with pytest.raises(ValueError, match='interior'):
+            partition_graph(bad, 4)
