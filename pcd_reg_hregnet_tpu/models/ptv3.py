@@ -48,11 +48,22 @@ class SerializedDepthwiseConv(nn.Module):
         return y.astype(x.dtype)
 
 
+def _attn_impl() -> str:
+    """'pallas' (fused kernel), 'xla' (dense einsum), or 'auto' (pallas on
+    accelerator backends).  Override with PCD_REG_ATTN_IMPL."""
+    import os
+    return os.environ.get('PCD_REG_ATTN_IMPL', 'auto')
+
+
 class PatchAttention(nn.Module):
     """Multi-head attention within fixed-size serialized patches.
 
     Equivalent of `SerializedAttention` (`ptv3.py:440-517`) for static
-    shapes: N divisible by patch_size by construction.
+    shapes: N divisible by patch_size by construction.  On accelerator
+    backends the attention core is the fused Pallas kernel
+    (`ops/pallas/attention.py` — [K, K] logits stay in VMEM, the flash
+    recompute trade in the backward); the CPU/test path is the equivalent
+    dense einsum.
     """
     channels: int
     num_heads: int
@@ -69,15 +80,24 @@ class PatchAttention(nn.Module):
         scale = d ** -0.5
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype)(x)
-        qkv = qkv.reshape(B, N // K, K, 3, H, d)
-        q, k, v = jnp.moveaxis(qkv, 3, 0)                      # each [B,P,K,H,d]
-        attn = jnp.einsum('bpkhd,bpmhd->bphkm', q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1)                   # f32 logits
-        out = jnp.einsum('bphkm,bpmhd->bpkhd',
-                         attn.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        out = out.reshape(B, N, C)
+        impl = _attn_impl()
+        if impl == 'pallas' or (impl == 'auto' and jax.default_backend() != 'cpu'):
+            from ..ops.pallas.attention import patch_attention
+            qkv = qkv.reshape(B * (N // K), K, 3, H, d)
+            q, k, v = (jnp.swapaxes(t, 1, 2)                   # [R,H,K,d]
+                       for t in jnp.moveaxis(qkv, 2, 0))
+            out = patch_attention(q, k, v, scale)
+            out = jnp.swapaxes(out, 1, 2).reshape(B, N, C).astype(x.dtype)
+        else:
+            qkv = qkv.reshape(B, N // K, K, 3, H, d)
+            q, k, v = jnp.moveaxis(qkv, 3, 0)                  # each [B,P,K,H,d]
+            attn = jnp.einsum('bpkhd,bpmhd->bphkm', q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1)               # f32 logits
+            out = jnp.einsum('bphkm,bpmhd->bpkhd',
+                             attn.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32).astype(x.dtype)
+            out = out.reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype)(out).astype(x.dtype)
 
 
