@@ -49,10 +49,18 @@ class SerializedDepthwiseConv(nn.Module):
 
 
 def _attn_impl() -> str:
-    """'pallas' (fused kernel), 'xla' (dense einsum), or 'auto' (pallas on
-    accelerator backends).  Override with PCD_REG_ATTN_IMPL."""
+    """'pallas' (fused kernel) or 'xla' (dense einsum, default).
+
+    Measured on one v5e chip at the production patch sizes (256/128/64,
+    head dims 8..32): the XLA dense path wins — model_v6 full forward
+    14.0 ms vs 16.3 ms at B=8.  One Pallas program per patch underfills
+    the MXU at these head dims, and XLA already keeps the per-patch
+    [K, K] logits in registers/VMEM via fusion at these sizes.  The
+    fused kernel (`ops/pallas/attention.py`) is the right tool for
+    *large* patches, where the dense path's materialised logits blow
+    past fusion thresholds; select it with PCD_REG_ATTN_IMPL=pallas."""
     import os
-    return os.environ.get('PCD_REG_ATTN_IMPL', 'auto')
+    return os.environ.get('PCD_REG_ATTN_IMPL', 'xla')
 
 
 class PatchAttention(nn.Module):

@@ -49,6 +49,10 @@ def fps(xyz: jnp.ndarray, nsample: int) -> jnp.ndarray:
     Returns:
         [B, nsample] int32 indices into N.
     """
+    # FPS selection is non-differentiable (integer indices; the reference's
+    # autograd Function likewise marks them non-diff) — stop_gradient also
+    # keeps jax.grad from tracing a JVP through the Pallas kernel
+    xyz = jax.lax.stop_gradient(xyz)
     if _use_pallas():
         from .pallas.fps import fps_pallas
         return fps_pallas(xyz, nsample)
@@ -65,6 +69,8 @@ def weighted_fps(xyz: jnp.ndarray, weights: jnp.ndarray, nsample: int) -> jnp.nd
     Returns:
         [B, nsample] int32 indices.
     """
+    xyz = jax.lax.stop_gradient(xyz)
+    weights = jax.lax.stop_gradient(weights)
     if _use_pallas():
         from .pallas.fps import weighted_fps_pallas
         return weighted_fps_pallas(xyz, weights, nsample)

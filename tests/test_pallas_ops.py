@@ -149,3 +149,24 @@ class TestPallasPatchAttention:
             got = mod.apply(var, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestPallasFPSGrad:
+    def test_grad_through_fps_pipeline(self, monkeypatch):
+        # training differentiates through gather(fps(xyz)) — the FPS indices
+        # are non-diff (stop_gradient) but the surrounding pipeline must
+        # still grad cleanly with the Pallas kernel engaged (regression:
+        # pallas_call has no JVP rule and crashed the TPU train step)
+        monkeypatch.setenv('PCD_REG_FPS_IMPL', 'pallas')
+        from pcd_reg_hregnet_tpu.ops.sampling import fps, gather_points
+
+        def loss(xyz):
+            idx = fps(xyz, 16)
+            kp = gather_points(xyz, idx)
+            return jnp.sum(kp * kp)
+
+        xyz = jax.random.uniform(jax.random.PRNGKey(0), (2, 128, 3))
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(loss)(xyz)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
