@@ -72,6 +72,13 @@ def make_train_step(objective: RegistrationObjective,
                                   batch_stats=new_bs, opt_state=new_opt)
         return new_state, metrics
 
+    # Explicit GSPMD shardings only when the mesh is really parallel: a
+    # sharded-compiled program is required for >1 device, but on a 1-device
+    # mesh the SPMD partitioner de-optimises this model catastrophically
+    # (measured 43 ms -> 9.7 s per step on a tunnelled v5e chip; donation
+    # is free either way).
+    if mesh.size == 1:
+        return jax.jit(step_fn, donate_argnums=(0,))
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(step_fn, donate_argnums=(0,),
@@ -85,6 +92,8 @@ def make_eval_step(objective: RegistrationObjective, mesh):
             batch, train=False)
         return metrics, (ret['rotation'][-1], ret['translation'][-1])
 
+    if mesh.size == 1:
+        return jax.jit(step_fn)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(step_fn, in_shardings=(rep, bsh), out_shardings=(rep, rep))
