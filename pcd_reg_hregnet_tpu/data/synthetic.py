@@ -27,6 +27,10 @@ class SyntheticPairSource:
         self.points_per_cloud = points_per_cloud
         self.extent = extent
         self.seed = seed
+        # pairs are deterministic in (seed, index) — cache them so epochs
+        # beyond the first don't pay scene generation again (the fresh
+        # per-epoch decalibration happens downstream in PairDataset)
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
 
     def __len__(self) -> int:
         return self.length
@@ -60,6 +64,8 @@ class SyntheticPairSource:
         return pts[: n].astype(np.float32)
 
     def load_pair(self, index: int) -> Dict[str, np.ndarray]:
+        if index in self._cache:
+            return self._cache[index]
         rng = np.random.default_rng((self.seed, index))
         n = self.points_per_cloud
         scene = self._scene_points(rng, int(n * 1.5))
@@ -73,6 +79,8 @@ class SyntheticPairSource:
 
         left, int_l = view(np.random.default_rng((self.seed, index, 1)))
         right, int_r = view(np.random.default_rng((self.seed, index, 2)))
-        return dict(pcd_left=left, pcd_right=right,
+        pair = dict(pcd_left=left, pcd_right=right,
                     intensity_left=int_l, intensity_right=int_r,
                     extrinsic=np.eye(4, dtype=np.float32))
+        self._cache[index] = pair
+        return pair
