@@ -103,10 +103,10 @@ def knn(query: jnp.ndarray, database: jnp.ndarray, k: int,
 
 
 # Gather strategy on accelerators.  The one-hot-matmul gather beats the
-# TPU's serialized dynamic-gather lowering (0.7 ms vs 2.2 ms for
-# B4 x 65536 rows x N8096 x C3), but generating the [rows, N] indicator is
-# VPU-bound: rows*N compare/select lanes dominate (4.0 ms at
-# B8 x 65536 x 8096 — dtype of the matmul is irrelevant, measured).  Above
+# TPU's serialized dynamic-gather lowering, but generating the [rows, N]
+# indicator is VPU-bound: rows*N compare/select lanes dominate (4.0 ms at
+# B8 x 65536 x 8096 — dtype of the matmul is irrelevant, measured; a
+# split-bf16 variant changed nothing).  Above
 # `_BLOCKED_GATHER_MIN_N` a two-stage *blocked* gather splits idx into
 # (block, offset) digits: stage 1 gathers whole S-point blocks with an
 # [rows, N/S] indicator, stage 2 selects within the block with an [rows, S]

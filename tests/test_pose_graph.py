@@ -164,3 +164,48 @@ class TestSchurOptimize:
                         jnp.concatenate([graph.weights, jnp.ones(1)]))
         with pytest.raises(ValueError, match='interior'):
             partition_graph(bad, 4)
+
+
+class TestSequencePipeline:
+    def test_icp_sequence_recovers_trajectory(self):
+        from pcd_reg_hregnet_tpu.slam import (build_pose_graph,
+                                              icp_register_fn, optimize)
+        # world scene observed from K drifting poses; each keyframe cloud is
+        # the scene expressed in its own sensor frame
+        key = jax.random.PRNGKey(9)
+        scene = jax.random.uniform(key, (1, 256, 3), minval=-10.0, maxval=10.0)
+        K = 6
+        tw = jax.random.normal(jax.random.fold_in(key, 1), (K - 1, 6)) * 0.1
+        gt = [jnp.eye(4)]
+        for k in range(K - 1):
+            gt.append(gt[-1] @ se3.exp(tw[k]))
+        gt = jnp.stack(gt)                                  # X_k world poses
+        clouds = jnp.concatenate(
+            [se3.transform(se3.inverse(gt[k])[None], scene) for k in range(K)])
+
+        edges = [(k, k + 1) for k in range(K - 1)] + [(0, K - 1)]
+        graph = build_pose_graph(clouds, edges,
+                                 icp_register_fn('point_to_point', max_iters=25))
+        out = optimize(graph, iters=10)
+        # gauge: both trajectories anchored at pose 0 = identity
+        err = se3.inverse(out) @ gt
+        ang = so3.geodesic_distance(err[:, :3, :3],
+                                    jnp.broadcast_to(jnp.eye(3), (K, 3, 3)))
+        assert float(jnp.rad2deg(ang).max()) < 0.5
+        assert float(jnp.linalg.norm(err[:, :3, 3], axis=-1).max()) < 0.05
+
+    def test_model_register_fn_shapes(self):
+        from pcd_reg_hregnet_tpu.slam import build_pose_graph, model_register_fn
+        from pcd_reg_hregnet_tpu.core.config import LevelConfig
+        from pcd_reg_hregnet_tpu import models
+        levels = (LevelConfig(32, 8, (8, 8, 16), 16),
+                  LevelConfig(16, 8, (16, 16, 32), 32),
+                  LevelConfig(8, 4, (32, 32, 64), 64))
+        m = models.build('hregnet', levels=levels)
+        clouds = jax.random.uniform(jax.random.PRNGKey(2), (3, 64, 3))
+        v = m.init(jax.random.PRNGKey(0), clouds[:1], clouds[:1], train=False)
+        graph = build_pose_graph(clouds, [(0, 1), (1, 2)],
+                                 model_register_fn(m, v))
+        assert graph.poses.shape == (3, 4, 4)
+        assert graph.measurements.shape == (2, 4, 4)
+        assert np.isfinite(np.asarray(graph.poses)).all()
