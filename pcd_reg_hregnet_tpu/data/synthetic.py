@@ -65,7 +65,7 @@ class SyntheticPairSource:
 
     def load_pair(self, index: int) -> Dict[str, np.ndarray]:
         if index in self._cache:
-            return self._cache[index]
+            return dict(self._cache[index])  # shallow copy: keep cache unaliased
         rng = np.random.default_rng((self.seed, index))
         n = self.points_per_cloud
         scene = self._scene_points(rng, int(n * 1.5))
@@ -83,4 +83,4 @@ class SyntheticPairSource:
                     intensity_left=int_l, intensity_right=int_r,
                     extrinsic=np.eye(4, dtype=np.float32))
         self._cache[index] = pair
-        return pair
+        return dict(pair)

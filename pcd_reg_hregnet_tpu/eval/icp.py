@@ -53,7 +53,9 @@ def icp_point_to_point(src: jnp.ndarray, dst: jnp.ndarray,
 def estimate_normals(points: jnp.ndarray, k: int = 16) -> jnp.ndarray:
     """Per-point normals via local PCA (smallest-eigenvector of the kNN
     covariance).  Replaces Open3D's estimate_normals for point-to-plane."""
-    _, idx = knn(points, points, k)
+    # exact neighbours: approximate kNN recall is fine for grouping convs
+    # but per-point PCA normals feed point-to-plane residuals directly
+    _, idx = knn(points, points, k, approx=False)
     B, N, _ = points.shape
     nbrs = _gather_rows(points, idx.reshape(B, N * k))
     nbrs = nbrs.reshape(B, N, k, 3)

@@ -67,11 +67,12 @@ class PatchAttention(nn.Module):
     """Multi-head attention within fixed-size serialized patches.
 
     Equivalent of `SerializedAttention` (`ptv3.py:440-517`) for static
-    shapes: N divisible by patch_size by construction.  On accelerator
-    backends the attention core is the fused Pallas kernel
-    (`ops/pallas/attention.py` — [K, K] logits stay in VMEM, the flash
-    recompute trade in the backward); the CPU/test path is the equivalent
-    dense einsum.
+    shapes: N divisible by patch_size by construction.  The attention core
+    defaults to the dense XLA einsum (measured faster at the production
+    patch sizes — see `_attn_impl`); `PCD_REG_ATTN_IMPL=pallas` selects the
+    fused Pallas kernel (`ops/pallas/attention.py` — [K, K] logits stay in
+    VMEM, flash recompute in the backward), the right tool for large
+    patches.
     """
     channels: int
     num_heads: int

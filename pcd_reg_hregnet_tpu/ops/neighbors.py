@@ -173,20 +173,24 @@ def ball_query(query: jnp.ndarray, database: jnp.ndarray, radius: float,
     first valid neighbour (the CUDA convention), and a validity mask is
     returned for callers that need exact counts.
 
-    Dense distance matrix + top_k of the masked distances: out-of-radius
-    entries are pushed to +inf so the k nearest *in-radius* points win —
-    identical selection to the sequential CUDA scan up to tie order.
+    Dense distance matrix + top_k of the masked distances.  Deviation
+    from the CUDA kernel: it keeps the first k in-radius points in *index
+    order* (a scan-order artifact); we return the k *nearest* in-radius
+    points — same in-radius guarantee, better neighbourhoods.
 
     Returns:
-        idx [B, M, k] int32, mask [B, M, k] bool (True = within radius).
+        idx [B, M, k] int32 (0 where a row has no in-radius point at all),
+        mask [B, M, k] bool (True = within radius).
     """
     d2 = pairwise_sqdist(query, database)
     r2 = radius * radius
     masked = jnp.where(d2 <= r2, d2, jnp.inf)
     neg_d, idx = jax.lax.top_k(-masked, k)
     mask = jnp.isfinite(neg_d)
-    # CUDA convention: pad short rows with the first valid neighbour
-    first = idx[..., :1]
+    # pad short rows with the first valid neighbour (CUDA convention);
+    # rows with NO in-radius point get index 0 + all-False mask (top_k over
+    # an all-inf row returns arbitrary indices otherwise)
+    first = jnp.where(mask[..., :1], idx[..., :1], 0)
     idx = jnp.where(mask, idx, first)
     return idx.astype(jnp.int32), mask
 

@@ -50,7 +50,12 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = 'data'):
     step on a v5e chip; see make_train_step)."""
     import jax.numpy as jnp
     if mesh.size == 1:
-        return jax.tree.map(jnp.asarray, batch)
+        dev = mesh.devices.flat[0]
+        if dev == jax.devices()[0]:
+            return jax.tree.map(jnp.asarray, batch)
+        # non-default device explicitly requested: honour the placement
+        # (committed => slower partitioned compile, but correct)
+        return jax.tree.map(lambda x: jax.device_put(x, dev), batch)
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 

@@ -296,6 +296,10 @@ def schur_optimize(pg: PartitionedGraph, mesh, iters: int = 10,
     from jax import shard_map
 
     nP, E_max = pg.local_w.shape
+    if mesh.size != nP:
+        raise ValueError(f'schur_optimize needs one device per partition: '
+                         f'graph has {nP} partitions, mesh has {mesh.size} '
+                         f'devices')
     K = pg.poses.shape[0]
     L = K // nP
     S_dim = 2 * nP * 6

@@ -131,6 +131,7 @@ class TestBallQuery:
         db = jnp.zeros((1, 8, 3))
         idx, mask = knn_mod.ball_query(q, db, 0.5, 4)
         assert not np.asarray(mask).any()
+        np.testing.assert_array_equal(np.asarray(idx), 0)
 
 
 class TestThreeNNInterpolate:
