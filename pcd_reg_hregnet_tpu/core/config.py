@@ -79,7 +79,13 @@ class DataConfig:
     batch_size: int = 1
     num_workers: int = 6
     limscenes: Optional[int] = None
-    # A2D2 specifics (`dataset/audi_dataset.py:337-351`)
+    # Official scene-split lists as JSON {split: [scene names]} — the
+    # devkit's create_splits_scenes() serialised (`man_dataset.py:174-232`).
+    # Empty: auto-discover <path>/<version>/splits.json or <path>/splits.json,
+    # else fall back to a deterministic hash split with `split_ratios`.
+    splits_file: str = ''
+    # A2D2 ratio split (`dataset/audi_dataset.py:337-351`); also the
+    # TruckScenes hash-split fallback ratios
     split_ratios: Tuple[float, float, float] = (0.6, 0.3, 0.1)
 
 
@@ -88,7 +94,9 @@ class LossConfig:
     """Loss combination — the reference encodes this in which train script
     you run (SURVEY.md §2.3); here it's data."""
     transformation: bool = True
-    alpha: float = 1.8                # Tf-loss rotation weight
+    # Tf-loss rotation weight — reference default (`train_reg_v11.py:66`,
+    # `dataset/config.json` loss_weights[0]); every reference script uses 1.0.
+    alpha: float = 1.0
     chamfer: bool = False
     chamfer_scale: float = 50.0
     mi: bool = False

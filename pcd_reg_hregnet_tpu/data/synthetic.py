@@ -65,7 +65,10 @@ class SyntheticPairSource:
 
     def load_pair(self, index: int) -> Dict[str, np.ndarray]:
         if index in self._cache:
-            return dict(self._cache[index])  # shallow copy: keep cache unaliased
+            # deep-copy the arrays: consumers may mutate in place, and an
+            # aliased cache would corrupt every later epoch's view
+            return {k: (v.copy() if isinstance(v, np.ndarray) else v)
+                    for k, v in self._cache[index].items()}
         rng = np.random.default_rng((self.seed, index))
         n = self.points_per_cloud
         scene = self._scene_points(rng, int(n * 1.5))

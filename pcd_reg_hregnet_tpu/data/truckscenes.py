@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -74,28 +74,86 @@ class TruckScenesTables:
         return self._rows[table]
 
 
+def _load_splits_file(cfg: DataConfig) -> Optional[Dict[str, List[str]]]:
+    """Locate the official scene-split lists: ``{split: [scene names]}``.
+
+    The reference gets these from the truckscenes devkit's
+    ``create_splits_scenes()`` (`dataset/man_dataset.py:11,174-232` — the
+    devkit ships them as static lists in ``truckscenes/utils/splits.py``).
+    Here the same lists are read from a JSON file: ``cfg.splits_file`` if
+    set, else ``<dataroot>/<version>/splits.json`` or
+    ``<dataroot>/splits.json``.  Returns None when no file exists."""
+    candidates = []
+    if cfg.splits_file:
+        candidates.append(cfg.splits_file)
+    if cfg.path:
+        candidates.append(os.path.join(cfg.path, cfg.version, 'splits.json'))
+        candidates.append(os.path.join(cfg.path, 'splits.json'))
+    for path in candidates:
+        if os.path.exists(path):
+            raw = json.load(open(path))
+            return {k: list(v) for k, v in raw.items()}
+    if cfg.splits_file:
+        raise FileNotFoundError(f'splits_file {cfg.splits_file!r} not found')
+    return None
+
+
+def _hash_split(name: str, ratios) -> str:
+    """Deterministic disjoint split by scene name (md5 -> [0,1) bucket)."""
+    import hashlib
+    frac = int(hashlib.md5(name.encode()).hexdigest()[:8], 16) / 0xFFFFFFFF
+    if frac < ratios[0]:
+        return 'train'
+    if frac < ratios[0] + ratios[1]:
+        return 'val'
+    return 'test'
+
+
+def select_scenes(scenes: List[dict], split: str, cfg: DataConfig) -> List[dict]:
+    """Split-disjoint scene selection (reference `get_scene_tokens`,
+    `man_dataset.py:174-242`).
+
+    With an official splits file: keep the scenes whose *name* is in the
+    split's list AND present in this version's tables (the reference
+    likewise drops names `field2token` can't find).  ``mini_train`` /
+    ``mini_val`` lists are honoured for mini versions.  Without a file:
+    a deterministic md5-of-scene-name split with `cfg.split_ratios` —
+    disjoint across train/val/test by construction (fixes round-1's
+    train/val leakage: all splits used to see every scene)."""
+    lists = _load_splits_file(cfg)
+    if lists is not None:
+        names = lists.get(split)
+        if names is None and 'mini' in cfg.version:
+            names = lists.get(f'mini_{split}')
+        if names is None:
+            names = []
+        wanted = set(names)
+        return [s for s in scenes if s['name'] in wanted]
+    return [s for s in scenes
+            if _hash_split(s['name'], cfg.split_ratios) == split]
+
+
 class TruckScenesPairSource:
     """L2L registration-pair source over TruckScenes samples.
 
-    Walks every scene's sample chain (first_sample_token -> next), keeping
-    one pair per (keyframe) sample: the two configured lidar channels with
-    the right cloud pre-transformed into the left sensor frame — the same
-    item contract the reference's `lidar_to_lidar` produces.
+    Walks the split's scenes' sample chains (first_sample_token -> next),
+    keeping one pair per (keyframe) sample: the two configured lidar
+    channels with the right cloud pre-transformed into the left sensor
+    frame — the same item contract the reference's `lidar_to_lidar`
+    produces.
     """
 
     def __init__(self, cfg: DataConfig, split: str = 'train'):
         self.cfg = cfg
+        self.split = split
         self.tables = TruckScenesTables(cfg.path, cfg.version)
         self.samples = self._collect_samples(split)
 
     def _collect_samples(self, split: str) -> List[dict]:
         scenes = sorted(self.tables.rows('scene'), key=lambda s: s['name'])
+        scenes = select_scenes(scenes, split, self.cfg)
         if self.cfg.limscenes:
             scenes = scenes[: self.cfg.limscenes]
-        # Official TruckScenes releases carry per-version splits via the
-        # dataroot (the reference mutates dataroot/version for the test
-        # split, `dataset/data_loader.py:9-12`); within one version we use
-        # all scenes for train/val/test of that version.
         samples = []
         for scene in scenes:
             token = scene['first_sample_token']
@@ -104,6 +162,13 @@ class TruckScenesPairSource:
                 samples.append(sample)
                 token = sample['next']
         return samples
+
+    @property
+    def scene_names(self) -> List[str]:
+        """Names of the scenes this split selected (for disjointness checks)."""
+        seen = {self.tables.get('sample', s['token'])['scene_token']
+                for s in self.samples}
+        return sorted(self.tables.get('scene', t)['name'] for t in seen)
 
     def __len__(self) -> int:
         return len(self.samples)

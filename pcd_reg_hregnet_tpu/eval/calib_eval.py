@@ -29,7 +29,15 @@ def _batch_errors(gt_tf: jnp.ndarray, pred_tf: jnp.ndarray):
     err_R, err_t = error[..., :3, :3], error[..., :3, 3]
     err_euler = jnp.rad2deg(rotations.matrix_to_euler_xyz(err_R))
     trace = err_R[..., 0, 0] + err_R[..., 1, 1] + err_R[..., 2, 2]
-    geod = jnp.rad2deg(jnp.arccos(jnp.clip((trace - 1) / 2, -1.0, 1.0)))
+    cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    # atan2 form (same as losses.rotation_errors): f32 arccos loses ~sqrt(eps)
+    # precision near identity — ~0.03 deg of jitter, 20% of the 0.15 deg
+    # accuracy budget.  atan2(sin, cos) is well-conditioned there.
+    skew = jnp.stack([err_R[..., 2, 1] - err_R[..., 1, 2],
+                      err_R[..., 0, 2] - err_R[..., 2, 0],
+                      err_R[..., 1, 0] - err_R[..., 0, 1]], axis=-1)
+    sin_t = 0.5 * jnp.linalg.norm(skew, axis=-1)
+    geod = jnp.rad2deg(jnp.arctan2(sin_t, cos_t))
     eucl = jnp.linalg.norm(err_t, axis=-1)
     pred_euler = jnp.rad2deg(rotations.matrix_to_euler_xyz(pred_tf[..., :3, :3]))
     return err_euler, err_t, geod, eucl, pred_euler, pred_tf[..., :3, 3]

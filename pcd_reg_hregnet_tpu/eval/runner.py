@@ -19,7 +19,7 @@ import numpy as np
 from ..core.config import Config
 from ..data import batch_iterator, load_dataset
 from ..geometry import se3
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import make_mesh, pad_to_multiple, shard_batch
 from ..train.loop import TrainState
 from ..train.objective import RegistrationObjective
 from .calib_eval import MultiLayerCalibEval
@@ -63,11 +63,17 @@ def evaluate(cfg: Config, state: TrainState, *, split: str = 'test',
         return poses
 
     for batch in batch_iterator(ds, bs, shuffle=False, drop_last=False):
-        sb = shard_batch(batch, mesh) if batch['igt'].shape[0] % mesh.devices.size == 0 else batch
+        n = batch['igt'].shape[0]
+        if n % mesh.devices.size:
+            # pad the ragged last batch up to the mesh size (one jit
+            # specialisation per batch shape, results trimmed below) —
+            # never silently fall back to an unsharded program
+            batch = pad_to_multiple(batch, mesh.devices.size)
+        sb = shard_batch(batch, mesh)
         poses = forward(state.params, state.batch_stats,
                         jax.tree.map(jnp.asarray, sb))
         for layer, pred in enumerate(poses):
-            evaluator.add_batch(layer, jnp.asarray(batch['igt']), pred)
+            evaluator.add_batch(layer, jnp.asarray(batch['igt'][:n]), pred[:n])
 
     metadata = {
         'dataset': cfg.data.dataset + cfg.data.version,

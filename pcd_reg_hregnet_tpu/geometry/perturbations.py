@@ -20,6 +20,22 @@ import jax.numpy as jnp
 from . import se3, so3
 
 
+def _sample_invgauss(key: jax.Array, mu: float, scale: float,
+                     shape=()) -> jnp.ndarray:
+    """Inverse-Gaussian (Wald) samples via the Michael-Schucany-Haas
+    transformation, matching scipy's ``invgauss.rvs(mu, scale)``
+    parametrisation (X = scale * Wald(mu, lambda=1)) used by the reference
+    (`transform/dataset_transforms.py:97-106`)."""
+    k_n, k_u = jax.random.split(key)
+    y = jax.random.normal(k_n, shape) ** 2
+    # Wald(mu, lambda=1):
+    x = mu + 0.5 * mu * mu * y - 0.5 * mu * jnp.sqrt(
+        4.0 * mu * y + mu * mu * y * y)
+    u = jax.random.uniform(k_u, shape)
+    w = jnp.where(u <= mu / (mu + x), x, mu * mu / jnp.maximum(x, 1e-30))
+    return scale * w
+
+
 def sample_twist(
     key: jax.Array,
     max_deg: float,
@@ -48,6 +64,15 @@ def sample_twist(
         w = jax.random.normal(k_w, (3,))
         w = w / (jnp.linalg.norm(w) + 1e-12) * amp
         t = jax.random.normal(k_t, (3,))
+        t = t / (jnp.linalg.norm(t) + 1e-12) * tran
+    elif distribution == 'inverse_gaussian':
+        # reference constants (`transform/dataset_transforms.py:97-101`):
+        # mu_w=1.0, lambda_w=0.1; mu_t=0.01, lambda_t=0.002.  The samples
+        # are normalised to unit length then scaled — the IG draw fixes the
+        # (all-positive-octant) *direction* distribution.
+        w = _sample_invgauss(k_w, 1.0, 0.1, (3,))
+        w = w / (jnp.linalg.norm(w) + 1e-12) * amp
+        t = _sample_invgauss(k_t, 0.01, 0.002, (3,))
         t = t / (jnp.linalg.norm(t) + 1e-12) * tran
     else:
         raise ValueError(f'unsupported distribution: {distribution}')

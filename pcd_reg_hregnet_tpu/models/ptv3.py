@@ -48,7 +48,11 @@ class SerializedDepthwiseConv(nn.Module):
         return y.astype(x.dtype)
 
 
-def _attn_impl() -> str:
+_ATTN_IMPL: str = None            # resolved lazily once; see _attn_impl
+_PALLAS_MIN_PATCH = 512           # dense [K, K] logits start spilling here
+
+
+def _attn_impl(patch_size: int) -> str:
     """'pallas' (fused kernel) or 'xla' (dense einsum, default).
 
     Measured on one v5e chip at the production patch sizes (256/128/64,
@@ -57,10 +61,30 @@ def _attn_impl() -> str:
     the MXU at these head dims, and XLA already keeps the per-patch
     [K, K] logits in registers/VMEM via fusion at these sizes.  The
     fused kernel (`ops/pallas/attention.py`) is the right tool for
-    *large* patches, where the dense path's materialised logits blow
-    past fusion thresholds; select it with PCD_REG_ATTN_IMPL=pallas."""
-    import os
-    return os.environ.get('PCD_REG_ATTN_IMPL', 'xla')
+    *large* patches, where the dense path's materialised logits blow past
+    fusion thresholds — 'auto' switches on patch size accordingly.
+
+    Resolved once per process (PCD_REG_ATTN_IMPL env var or
+    `set_attn_impl`): callers are jit-cached, so flipping the flag after
+    the first trace would silently mix implementations."""
+    global _ATTN_IMPL
+    if _ATTN_IMPL is None:
+        import os
+        _ATTN_IMPL = os.environ.get('PCD_REG_ATTN_IMPL', 'auto')
+    if _ATTN_IMPL == 'auto':
+        if jax.default_backend() == 'cpu' or patch_size < _PALLAS_MIN_PATCH:
+            return 'xla'
+        return 'pallas'
+    return _ATTN_IMPL
+
+
+def set_attn_impl(impl: str) -> None:
+    """Pin the attention implementation ('xla'|'pallas'|'auto'); clears jit
+    caches so subsequent traces pick it up."""
+    global _ATTN_IMPL
+    assert impl in ('xla', 'pallas', 'auto'), impl
+    _ATTN_IMPL = impl
+    jax.clear_caches()
 
 
 class PatchAttention(nn.Module):
@@ -89,8 +113,7 @@ class PatchAttention(nn.Module):
         scale = d ** -0.5
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype)(x)
-        impl = _attn_impl()
-        if impl == 'pallas' or (impl == 'auto' and jax.default_backend() != 'cpu'):
+        if _attn_impl(K) == 'pallas':
             from ..ops.pallas.attention import patch_attention
             qkv = qkv.reshape(B * (N // K), K, 3, H, d)
             q, k, v = (jnp.swapaxes(t, 1, 2)                   # [R,H,K,d]

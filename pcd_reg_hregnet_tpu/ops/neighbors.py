@@ -121,9 +121,32 @@ _GATHER_BLOCK = 8
 def _gather_impl() -> str:
     """'taa' (take_along_axis), 'onehot', 'blocked', or 'auto' (default:
     taa on CPU, one-hot/blocked by N on accelerators).  Override with
-    PCD_REG_GATHER_IMPL for tests/debugging."""
-    import os
-    return os.environ.get('PCD_REG_GATHER_IMPL', 'auto')
+    PCD_REG_GATHER_IMPL for tests/debugging.
+
+    NOTE: callers are jit-cached functions whose cache is NOT keyed on this
+    flag; `set_gather_impl` (or the env var before first trace) is the only
+    supported way to change it — flipping the env var mid-process would
+    silently mix implementations depending on trace order, so the value is
+    resolved once here and pinned."""
+    global _GATHER_IMPL
+    if _GATHER_IMPL is None:
+        import os
+        _GATHER_IMPL = os.environ.get('PCD_REG_GATHER_IMPL', 'auto')
+    return _GATHER_IMPL
+
+
+_GATHER_IMPL: str = None  # resolved lazily once; see _gather_impl
+
+
+def set_gather_impl(impl: str) -> None:
+    """Pin the gather implementation ('taa'|'onehot'|'blocked'|'auto').
+
+    Must be called before the first traced use; clears JAX's jit caches so
+    tests switching implementations re-trace."""
+    global _GATHER_IMPL
+    assert impl in ('taa', 'onehot', 'blocked', 'auto'), impl
+    _GATHER_IMPL = impl
+    jax.clear_caches()
 
 
 def _gather_rows(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -182,7 +205,10 @@ def ball_query(query: jnp.ndarray, database: jnp.ndarray, radius: float,
         idx [B, M, k] int32 (0 where a row has no in-radius point at all),
         mask [B, M, k] bool (True = within radius).
     """
-    d2 = pairwise_sqdist(query, database)
+    # |q|^2+|d|^2-2qd expansion: f32 error at |d|~radius makes the boundary
+    # fuzzy at lsb level (and d2 can go slightly negative) — clamp to >=0;
+    # the radius itself remains approximate at ~1 ulp of the expansion.
+    d2 = jnp.maximum(pairwise_sqdist(query, database), 0.0)
     r2 = radius * radius
     masked = jnp.where(d2 <= r2, d2, jnp.inf)
     neg_d, idx = jax.lax.top_k(-masked, k)

@@ -27,16 +27,31 @@ import jax.numpy as jnp
 _INIT_DIST = 1e10
 
 
+_FPS_IMPL: str = None  # resolved lazily once; see _use_pallas / set_fps_impl
+
+
 def _use_pallas() -> bool:
     """Pallas kernel on TPU backends; XLA fori_loop elsewhere (CPU tests,
-    interpret-mode debugging).  Override with PCD_REG_FPS_IMPL=xla|pallas."""
-    import os
-    impl = os.environ.get('PCD_REG_FPS_IMPL', 'auto')
-    if impl == 'xla':
+    interpret-mode debugging).  Override with PCD_REG_FPS_IMPL=xla|pallas
+    before first use, or `set_fps_impl` (resolved once — callers are
+    jit-cached, so a mid-process env flip would mix implementations)."""
+    global _FPS_IMPL
+    if _FPS_IMPL is None:
+        import os
+        _FPS_IMPL = os.environ.get('PCD_REG_FPS_IMPL', 'auto')
+    if _FPS_IMPL == 'xla':
         return False
-    if impl == 'pallas':
+    if _FPS_IMPL == 'pallas':
         return True
     return jax.default_backend() not in ('cpu',)
+
+
+def set_fps_impl(impl: str) -> None:
+    """Pin the FPS implementation ('xla'|'pallas'|'auto'); clears jit caches."""
+    global _FPS_IMPL
+    assert impl in ('xla', 'pallas', 'auto'), impl
+    _FPS_IMPL = impl
+    jax.clear_caches()
 
 
 @partial(jax.jit, static_argnames=('nsample',))

@@ -100,6 +100,15 @@ class RegistrationObjective(nn.Module):
 
         # --- deep MI -------------------------------------------------------
         if cfg.loss.mi:
+            if src.shape[0] < 2:
+                # the "prime" negatives are a batch-roll (reference
+                # torch.randperm(B), `model_v6/layers.py:495-504`): at B=1
+                # both degenerate to pos==neg and the JSD bound is silently
+                # zero-information.  Reference MI scripts default bs=16
+                # (`train_reg_v6.py:40`).
+                raise ValueError(
+                    'MI loss needs batch_size >= 2: its negatives are a '
+                    'batch permutation, degenerate at B=1')
             mi = self.mi_loss(
                 x_global=ret['mi_weights'], x_global_prime=ret['mi_weights_prime'],
                 x_local=ret['mi_feats'], x_local_prime=ret['mi_feats_prime'],

@@ -92,3 +92,29 @@ class TestPerturbations:
         a = perturbations.sample_igt(jax.random.PRNGKey(9), batch=4)
         b = perturbations.sample_igt(jax.random.PRNGKey(9), batch=4)
         np.testing.assert_array_equal(a, b)
+
+    def test_inverse_gaussian_distribution(self):
+        # reference `transform/dataset_transforms.py:88-115`: IG draws are
+        # normalised then scaled, so directions land in the all-positive
+        # octant and magnitudes stay bounded exactly like 'uniform'
+        igt = perturbations.sample_igt(jax.random.PRNGKey(10), max_deg=20.0,
+                                       max_tran=0.5, batch=64,
+                                       distribution='inverse_gaussian')
+        R, t = se3.unpack(igt)
+        np.testing.assert_allclose(jnp.linalg.det(R), jnp.ones(64), atol=1e-4)
+        ang = so3.log(R)
+        assert float(jnp.max(jnp.linalg.norm(ang, axis=-1))) <= np.deg2rad(20) + 1e-4
+        assert float(jnp.max(jnp.linalg.norm(t, axis=-1))) <= 0.5 + 1e-5
+        # IG samples are strictly positive => rotation axis components all >0
+        assert bool(jnp.all(ang > -1e-6))
+
+    def test_invgauss_matches_scipy_moments(self):
+        # the MSH sampler must match scipy's invgauss(mu, scale) moments:
+        # mean = mu*scale, var = mu^3*scale^2
+        from pcd_reg_hregnet_tpu.geometry.perturbations import _sample_invgauss
+        mu, scale = 1.0, 0.1
+        x = np.asarray(_sample_invgauss(jax.random.PRNGKey(11), mu, scale,
+                                        (20000,)))
+        assert np.all(x > 0)
+        np.testing.assert_allclose(x.mean(), mu * scale, rtol=0.05)
+        np.testing.assert_allclose(x.var(), mu ** 3 * scale ** 2, rtol=0.1)

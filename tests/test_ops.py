@@ -87,12 +87,16 @@ class TestKNN:
         for n in (50, 4099, 4104):
             data = jax.random.normal(jax.random.PRNGKey(3), (2, n, 7))
             idx = jax.random.randint(jax.random.PRNGKey(4), (2, 10, 4), 0, n)
-            monkeypatch.setenv('PCD_REG_GATHER_IMPL', 'taa')
+            knn_mod.set_gather_impl('taa')
             ref = np.asarray(knn_mod.knn_gather(data, idx))
-            for impl in ('onehot', 'blocked'):
-                monkeypatch.setenv('PCD_REG_GATHER_IMPL', impl)
-                got = np.asarray(knn_mod.knn_gather(data, idx))
-                np.testing.assert_array_equal(got, ref, err_msg=f'{impl} N={n}')
+            try:
+                for impl in ('onehot', 'blocked'):
+                    knn_mod.set_gather_impl(impl)
+                    got = np.asarray(knn_mod.knn_gather(data, idx))
+                    np.testing.assert_array_equal(got, ref,
+                                                  err_msg=f'{impl} N={n}')
+            finally:
+                knn_mod.set_gather_impl('auto')
 
     def test_knn_group_features(self):
         key = jax.random.PRNGKey(7)

@@ -138,27 +138,31 @@ class TestPallasPatchAttention:
 
     def test_model_uses_pallas_path(self, monkeypatch):
         # the flax module must produce the same outputs via both impls
-        from pcd_reg_hregnet_tpu.models.ptv3 import PatchAttention
+        from pcd_reg_hregnet_tpu.models.ptv3 import (PatchAttention,
+                                                     set_attn_impl)
         x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 32))
         mod = PatchAttention(channels=32, num_heads=4, patch_size=16)
-        monkeypatch.setenv('PCD_REG_ATTN_IMPL', 'xla')
+        set_attn_impl('xla')
         var = mod.init(jax.random.PRNGKey(4), x)
         want = mod.apply(var, x)
-        monkeypatch.setenv('PCD_REG_ATTN_IMPL', 'pallas')
-        with pltpu.force_tpu_interpret_mode():
-            got = mod.apply(var, x)
+        try:
+            set_attn_impl('pallas')
+            with pltpu.force_tpu_interpret_mode():
+                got = mod.apply(var, x)
+        finally:
+            set_attn_impl('auto')
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
 
 
 class TestPallasFPSGrad:
-    def test_grad_through_fps_pipeline(self, monkeypatch):
+    def test_grad_through_fps_pipeline(self):
         # training differentiates through gather(fps(xyz)) — the FPS indices
         # are non-diff (stop_gradient) but the surrounding pipeline must
         # still grad cleanly with the Pallas kernel engaged (regression:
         # pallas_call has no JVP rule and crashed the TPU train step)
-        monkeypatch.setenv('PCD_REG_FPS_IMPL', 'pallas')
-        from pcd_reg_hregnet_tpu.ops.sampling import fps, gather_points
+        from pcd_reg_hregnet_tpu.ops.sampling import (fps, gather_points,
+                                                      set_fps_impl)
 
         def loss(xyz):
             idx = fps(xyz, 16)
@@ -166,7 +170,11 @@ class TestPallasFPSGrad:
             return jnp.sum(kp * kp)
 
         xyz = jax.random.uniform(jax.random.PRNGKey(0), (2, 128, 3))
-        with pltpu.force_tpu_interpret_mode():
-            g = jax.grad(loss)(xyz)
+        set_fps_impl('pallas')
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                g = jax.grad(loss)(xyz)
+        finally:
+            set_fps_impl('auto')
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0

@@ -64,6 +64,18 @@ class TestObjectiveAndStep:
         # and the trajectory is chaotic at ulp level (knn/argmax selections)
         assert min(losses) < first
 
+    def test_mi_requires_batch_ge_2(self):
+        # MI negatives are a batch roll — degenerate (pos==neg) at B=1, so
+        # the objective must refuse at trace time (VERDICT r1 weak #7)
+        cfg = small_experiment('reg_v6')
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, batch_size=1))
+        ds = load_dataset(cfg.data, 'train', length=2, points_per_cloud=256)
+        batch = next(batch_iterator(ds, 1))
+        obj = RegistrationObjective(cfg)
+        with pytest.raises(ValueError, match='batch_size >= 2'):
+            create_state(cfg, obj, batch, 1)
+
     def test_eval_step_runs(self):
         cfg = small_experiment('reg_v0')
         ds, batch = make_batch(cfg)
@@ -115,6 +127,21 @@ class TestCalibEval:
         bad = np.eye(4); bad[:3, 3] = [9, 9, 9]
         ev.add_batch(igt, jnp.asarray(bad)[None])     # failure
         assert ev.compute_recall() == 0.5
+
+    def test_geodesic_atan2_precision_near_identity(self):
+        # VERDICT r1 weak #3: f32 arccos jitters ~0.03 deg near identity;
+        # the atan2 form must agree with an f64 reference to < 0.01 deg
+        rng = np.random.default_rng(0)
+        for true_deg in (0.01, 0.05, 0.15, 1.0):
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            w = axis * np.deg2rad(true_deg)
+            R_err = np.asarray(so3.exp(jnp.asarray(w, jnp.float64)))
+            pred = np.eye(4); pred[:3, :3] = R_err
+            ev = CalibEval()
+            ev.add_batch(jnp.eye(4)[None], jnp.asarray(pred, jnp.float32)[None])
+            _, _, g = ev.get_stats()
+            assert abs(g[0] - true_deg) < 0.01, (true_deg, g[0])
 
     def test_multilayer_save(self, tmp_path):
         igt = perturbations.sample_igt(jax.random.PRNGKey(1), batch=2)

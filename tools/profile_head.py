@@ -40,12 +40,13 @@ def main():
     run('+fine1 (R1) = full', lambda o: o['rotation'][2])
 
     # attention impl comparison on the full model
+    from pcd_reg_hregnet_tpu.models.ptv3 import set_attn_impl
     for impl in ('xla', 'pallas'):
-        os.environ['PCD_REG_ATTN_IMPL'] = impl
+        set_attn_impl(impl)
         run(f'full, attn={impl}', lambda o: o['rotation'][2])
 
     # train-step cost (grad + adamw update), reg_v11 recipe
-    os.environ.pop('PCD_REG_ATTN_IMPL', None)
+    set_attn_impl('auto')
     import dataclasses
     from pcd_reg_hregnet_tpu.train import experiment
     from pcd_reg_hregnet_tpu.train.loop import create_state, make_train_step
