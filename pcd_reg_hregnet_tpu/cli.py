@@ -30,6 +30,13 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument('--npoints', type=int, default=None)
     p.add_argument('--log-dir', default='runs')
     p.add_argument('--use-wandb', action='store_true')
+    p.add_argument('--watch', action='store_true',
+                   help='log per-module grad/param norms every epoch '
+                        '(wandb.watch equivalent)')
+    p.add_argument('--compute-dtype', default=None,
+                   choices=[None, 'float32', 'bfloat16'],
+                   help='activation dtype of the compute path (bfloat16 '
+                        'doubles MXU throughput on TPU)')
     p.add_argument('--debug-scale', action='store_true',
                    help='shrink the keypoint pyramid (64/32/16 samples) and '
                         'PTv3 stack for CPU smoke runs / CI')
@@ -55,10 +62,16 @@ def _build_config(args):
         train_over['seed'] = args.seed
     if args.use_wandb:
         train_over['use_wandb'] = True
+    if getattr(args, 'watch', False):
+        train_over['watch'] = True
     cfg = dataclasses.replace(
         cfg,
         data=dataclasses.replace(cfg.data, **data_over),
         train=dataclasses.replace(cfg.train, **train_over))
+    if getattr(args, 'compute_dtype', None):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           compute_dtype=args.compute_dtype))
     if getattr(args, 'debug_scale', False):
         from .core.config import LevelConfig
         model_over = dict(levels=(LevelConfig(64, 16, (16, 16, 32), 32),

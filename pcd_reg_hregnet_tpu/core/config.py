@@ -123,6 +123,9 @@ class TrainConfig:
     freeze_detector: bool = False
     freeze_feats: bool = False
     val_every: int = 1
+    # wandb.watch equivalent (`train_reg_v11.py:235-236`): log per-module
+    # gradient/parameter norms each epoch (CSV + wandb)
+    watch: bool = False
     ckpt_dir: str = 'ckpt'
     use_wandb: bool = False
     runname: str = ''

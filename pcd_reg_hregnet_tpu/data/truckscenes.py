@@ -83,9 +83,15 @@ def _load_splits_file(cfg: DataConfig) -> Optional[Dict[str, List[str]]]:
     Here the same lists are read from a JSON file: ``cfg.splits_file`` if
     set, else ``<dataroot>/<version>/splits.json`` or
     ``<dataroot>/splits.json``.  Returns None when no file exists."""
-    candidates = []
     if cfg.splits_file:
-        candidates.append(cfg.splits_file)
+        # explicit path: missing is a configuration error, never silently
+        # fall back to auto-discovery (silent fallbacks re-open the
+        # train/val leakage this feature exists to close)
+        if not os.path.exists(cfg.splits_file):
+            raise FileNotFoundError(f'splits_file {cfg.splits_file!r} not found')
+        raw = json.load(open(cfg.splits_file))
+        return {k: list(v) for k, v in raw.items()}
+    candidates = []
     if cfg.path:
         candidates.append(os.path.join(cfg.path, cfg.version, 'splits.json'))
         candidates.append(os.path.join(cfg.path, 'splits.json'))
@@ -93,8 +99,6 @@ def _load_splits_file(cfg: DataConfig) -> Optional[Dict[str, List[str]]]:
         if os.path.exists(path):
             raw = json.load(open(path))
             return {k: list(v) for k, v in raw.items()}
-    if cfg.splits_file:
-        raise FileNotFoundError(f'splits_file {cfg.splits_file!r} not found')
     return None
 
 

@@ -30,16 +30,23 @@ def make_mesh(data_parallel: int = -1, axis_name: str = 'data',
     return Mesh(np.asarray(devices[:data_parallel]), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = 'data') -> NamedSharding:
-    """Shard the leading (batch) axis across the mesh."""
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharding(mesh: Mesh, axis_name: Optional[str] = None) -> NamedSharding:
+    """Shard the leading (batch) axis across the whole mesh.
+
+    Works for both the 1-D ('data',) mesh and the hybrid ('dcn', 'ici')
+    mesh (`parallel/distributed.py`): the batch axis is split over ALL
+    mesh axes — pure data parallelism, gradient psum rides ICI first."""
+    axes = axis_name if axis_name is not None else tuple(mesh.axis_names)
+    if isinstance(axes, tuple) and len(axes) == 1:
+        axes = axes[0]
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = 'data'):
+def shard_batch(batch, mesh: Mesh, axis_name: Optional[str] = None):
     """Place a host batch dict onto the mesh, sharded on axis 0.
 
     A 1-device mesh keeps the arrays UNCOMMITTED (`jnp.asarray`, default
@@ -57,6 +64,12 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = 'data'):
         # (committed => slower partitioned compile, but correct)
         return jax.tree.map(lambda x: jax.device_put(x, dev), batch)
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        # multi-host: this process holds only its local batch rows; JAX
+        # stitches the global logical array with no cross-host copy
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

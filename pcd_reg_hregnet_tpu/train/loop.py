@@ -35,7 +35,8 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-BEST_METRICS = ('val_loss', 'rre', 'rte', 'rot_err', 'trans_err')  # train_reg_v11.py:471-480
+BEST_METRICS = ('train_loss',                       # train_reg_v11.py:468-469
+                'val_loss', 'rre', 'rte', 'rot_err', 'trans_err')  # :471-480
 
 
 def create_state(cfg: Config, objective: RegistrationObjective,
@@ -55,8 +56,14 @@ def create_state(cfg: Config, objective: RegistrationObjective,
 
 
 def make_train_step(objective: RegistrationObjective,
-                    tx: optax.GradientTransformation, mesh):
-    """Jitted, state-donating train step with batch sharded over the mesh."""
+                    tx: optax.GradientTransformation, mesh,
+                    watch: bool = False):
+    """Jitted, state-donating train step with batch sharded over the mesh.
+
+    `watch=True` adds per-module gradient/parameter norms to the metrics —
+    the `wandb.watch(net)` equivalent (`train_reg_v11.py:235-236`; full
+    per-weight histograms would ship MBs to the host every step, so the
+    health signal is the norm tree)."""
 
     def step_fn(state: TrainState, batch):
         def loss_fn(params):
@@ -66,6 +73,16 @@ def make_train_step(objective: RegistrationObjective,
             return loss, (metrics, mutated.get('batch_stats', state.batch_stats))
 
         grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if watch:
+            def norms(tree, tag):
+                for top, sub in tree.items():
+                    if isinstance(sub, dict):
+                        for child, leaf in sub.items():
+                            metrics[f'{tag}/{top}.{child}'] = optax.global_norm(leaf)
+                    else:
+                        metrics[f'{tag}/{top}'] = optax.global_norm(sub)
+            norms(grads, 'watch_grad_norm')
+            norms(state.params, 'watch_param_norm')
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
@@ -107,6 +124,13 @@ def run_epoch(dataset, step, state, mesh, batch_size, *, train: bool,
     sums, count = {}, 0
     for batch in batch_iterator(dataset, batch_size, shuffle=shuffle,
                                 seed=seed, epoch=epoch):
+        if jax.process_count() > 1:
+            # multi-host input contract: every process iterates the same
+            # deterministic global order but materialises only its own
+            # rows; shard_batch stitches the global array
+            from ..parallel.distributed import process_local_batch_slice
+            sl = process_local_batch_slice(batch_size)
+            batch = jax.tree.map(lambda x: x[sl], batch)
         batch = shard_batch(batch, mesh)
         if train:
             state, metrics = step(state, batch)
@@ -135,12 +159,23 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
     val_ds = datasets[1] if datasets else load_dataset(cfg.data, 'val')
 
     bs = cfg.data.batch_size
-    dp = cfg.mesh.data_parallel
-    if dp in (-1, 0):
-        # largest device count that divides the batch (sharding constraint)
-        import math
-        dp = math.gcd(len(jax.devices()), bs)
-    mesh = make_mesh(dp, cfg.mesh.data_axis)
+    # Multi-host entry (no reference counterpart — SURVEY.md §2.4): under a
+    # multi-process launcher this initialises the distributed runtime and
+    # trains over a hybrid ICI x DCN mesh; single-process runs fall through
+    # to the 1-D local mesh unchanged.
+    from ..parallel import distributed
+    if distributed.initialize():
+        mesh = distributed.make_hybrid_mesh()
+        if bs % mesh.size:
+            raise ValueError(f'global batch {bs} must divide the '
+                             f'{mesh.size}-device hybrid mesh')
+    else:
+        dp = cfg.mesh.data_parallel
+        if dp in (-1, 0):
+            # largest device count that divides the batch (sharding constraint)
+            import math
+            dp = math.gcd(len(jax.devices()), bs)
+        mesh = make_mesh(dp, cfg.mesh.data_axis)
     objective = RegistrationObjective(cfg)
     steps_per_epoch = max(1, len(train_ds) // bs)
 
@@ -158,7 +193,7 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
         state = state.replace(params=new_params, batch_stats=new_bs)
     if resume:
         state = restore_checkpoint(resume, state)
-    train_step = make_train_step(objective, tx, mesh)
+    train_step = make_train_step(objective, tx, mesh, watch=cfg.train.watch)
     eval_step = make_eval_step(objective, mesh)
 
     logger = MetricLogger(log_dir, cfg)
@@ -182,6 +217,7 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
 
         # per-best checkpointing (train_reg_v11.py:468-480)
         tracked = {
+            'train_loss': train_metrics.get('loss', np.inf),
             'val_loss': val_metrics.get('loss', np.inf),
             'rre': val_metrics.get('rre', np.inf),
             'rte': val_metrics.get('rte', np.inf),

@@ -186,3 +186,23 @@ class InferenceVisualizer:
         fig.savefig(path, dpi=120)
         plt.close(fig)
         return path
+
+    def sequence_video(self, frames, name: str = 'inference',
+                       fps: int = 2) -> str:
+        """Stitch per-frame BEV overlays into an animated inference video.
+
+        Equivalent of the reference's `generate_video`
+        (`visualize/visualize_inference.py:72-84`, cv2 VideoWriter over
+        saved stills); here frames are (dst, src_uncalib, src_registered)
+        tuples rendered via `bev` and written as an animated GIF (PIL —
+        no opencv/ffmpeg dependency in the image).
+        """
+        from PIL import Image
+        paths = [self.bev(dst, unc, reg, name=f'{name}_frame_{i:04d}')
+                 for i, (dst, unc, reg) in enumerate(frames)]
+        images = [Image.open(p).convert('P', palette=Image.ADAPTIVE)
+                  for p in paths]
+        out = os.path.join(self.out_dir, f'{name}.gif')
+        images[0].save(out, save_all=True, append_images=images[1:],
+                       duration=int(1000 / fps), loop=0)
+        return out

@@ -158,6 +158,97 @@ class TestTorchImport:
             torch_import.merge_into(variables, params, stats, prefix=())
 
 
+REAL_CKPT = '/root/reference/ckpt/pretrained/nusc_feats.pth'
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_CKPT),
+                    reason='reference pretrained ckpts not mounted')
+class TestRealPretrainedImport:
+    """VERDICT r1 next-step #8: validate torch_import against the actual
+    reference artifacts (`ckpt/pretrained/nusc_{keypoints,feats}.pth`)."""
+
+    @pytest.fixture(scope='class')
+    def imported(self):
+        sd = torch_import.load_state_dict(REAL_CKPT)
+        params, stats = torch_import.convert_backbone(sd)
+        return sd, params, stats
+
+    def test_every_backbone_tensor_mapped(self, imported):
+        sd, params, stats = imported
+        # every Conv/BN tensor of the detector/desc towers must be consumed
+        # (num_batches_tracked is torch bookkeeping, not a parameter)
+        def count_leaves(t):
+            return sum(count_leaves(v) if isinstance(v, dict) else 1
+                       for v in t.values())
+        backbone_keys = [k for k in sd
+                         if not k.endswith('num_batches_tracked')]
+        assert count_leaves(params) + count_leaves(stats) == len(backbone_keys)
+
+    def test_merge_into_production_model(self, imported):
+        _, params, stats = imported
+        from pcd_reg_hregnet_tpu.core.config import ModelConfig
+        from pcd_reg_hregnet_tpu.models.registration import HierFeatureExtraction
+        net = HierFeatureExtraction(ModelConfig())   # production channels
+        pts = jax.random.uniform(jax.random.PRNGKey(0), (1, 2048, 3),
+                                 minval=-30, maxval=30)
+        variables = net.init(jax.random.PRNGKey(1), pts, train=False)
+        merged = torch_import.merge_into(variables, params, stats, prefix=())
+        out = net.apply(merged, pts, train=False)
+        desc = np.asarray(out['desc_3'])
+        assert np.all(np.isfinite(desc))
+        # weights actually landed: output differs from the random init
+        out0 = net.apply(variables, pts, train=False)
+        assert float(np.abs(desc - np.asarray(out0['desc_3'])).max()) > 1e-3
+
+    def test_forward_equivalence_conv_stack(self, imported):
+        """Numeric forward equivalence of the imported detector_1 conv stack
+        vs the reference's torch math (Conv2d 1x1 + BatchNorm eval + ReLU)
+        on the same random input — validates the layout map end to end."""
+        import torch
+        import torch.nn.functional as F
+        sd, params, stats = imported
+        x = np.random.RandomState(0).randn(2, 16, 4).astype('f')  # [B*, k, C=4]
+
+        # ours: Dense -> BN(eval) -> ReLU chain from the imported tree
+        h = jnp.asarray(x)
+        p = params['detector_1']['ConvBNReLU_0']
+        s = stats['detector_1']['ConvBNReLU_0']
+        j = 0
+        while f'Dense_{j}' in p:
+            h = h @ jnp.asarray(p[f'Dense_{j}']['kernel'])
+            bnp, bns = p[f'BatchNorm_{j}'], s[f'BatchNorm_{j}']
+            h = (h - bns['mean']) / np.sqrt(bns['var'] + 1e-5) \
+                * bnp['scale'] + bnp['bias']
+            h = jax.nn.relu(h)
+            j += 1
+        ours = np.asarray(h)
+
+        # torch: the reference KeypointDetector conv stack semantics
+        # (`models/HRegNet/layers.py:100-113`) on [B, C, M, k]
+        t = torch.from_numpy(x.transpose(2, 0, 1)[None])   # [1, 4, 2, 16]
+        k = 0
+        while f'detector_1.convs.{3 * k}.weight' in sd:
+            t = F.conv2d(t, torch.from_numpy(sd[f'detector_1.convs.{3 * k}.weight']))
+            bn = f'detector_1.convs.{3 * k + 1}'
+            t = F.batch_norm(t, torch.from_numpy(sd[f'{bn}.running_mean']),
+                             torch.from_numpy(sd[f'{bn}.running_var']),
+                             torch.from_numpy(sd[f'{bn}.weight']),
+                             torch.from_numpy(sd[f'{bn}.bias']),
+                             training=False, eps=1e-5)
+            t = F.relu(t)
+            k += 1
+        theirs = t[0].detach().numpy().transpose(1, 2, 0)   # [2, 16, C]
+        assert k == j
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    def test_both_artifacts_convert(self):
+        for name in ('nusc_keypoints', 'nusc_feats'):
+            sd = torch_import.load_state_dict(
+                f'/root/reference/ckpt/pretrained/{name}.pth')
+            params, stats = torch_import.convert_backbone(sd)
+            assert 'detector_1' in params and 'desc_extractor_3' in params
+
+
 class TestProfiling:
     def test_step_timer_and_time_fn(self):
         timer = StepTimer()

@@ -64,6 +64,21 @@ class TestObjectiveAndStep:
         # and the trajectory is chaotic at ulp level (knn/argmax selections)
         assert min(losses) < first
 
+    def test_watch_logs_grad_and_param_norms(self):
+        # wandb.watch equivalent: per-module norm metrics appear and are finite
+        cfg = small_experiment('reg_v0')
+        ds, batch = make_batch(cfg)
+        mesh = make_mesh(2)
+        obj = RegistrationObjective(cfg)
+        state, tx = create_state(cfg, obj, batch, 1)
+        step = make_train_step(obj, tx, mesh, watch=True)
+        _, m = step(state, shard_batch(batch, mesh))
+        grad_keys = [k for k in m if k.startswith('watch_grad_norm/')]
+        param_keys = [k for k in m if k.startswith('watch_param_norm/')]
+        assert grad_keys and param_keys
+        assert all(np.isfinite(float(m[k])) for k in grad_keys + param_keys)
+        assert any(float(m[k]) > 0 for k in grad_keys)
+
     def test_mi_requires_batch_ge_2(self):
         # MI negatives are a batch roll — degenerate (pos==neg) at B=1, so
         # the objective must refuse at trace time (VERDICT r1 weak #7)

@@ -34,6 +34,19 @@ class TestResultPlots:
         import os
         assert os.path.getsize(path) > 0
 
+    def test_sequence_video(self, tmp_path):
+        # reference visualize_inference.py:72-84 equivalent: animated GIF
+        rng = np.random.default_rng(2)
+        viz = InferenceVisualizer(str(tmp_path))
+        frames = [(rng.normal(size=(50, 3)), rng.normal(size=(50, 3)),
+                   rng.normal(size=(50, 3))) for _ in range(3)]
+        out = viz.sequence_video(frames, fps=4)
+        import os
+        assert out.endswith('.gif') and os.path.getsize(out) > 0
+        from PIL import Image
+        img = Image.open(out)
+        assert getattr(img, 'n_frames', 1) == 3
+
 
 class TestFeatureMaps:
     def test_capture_and_plot(self, tmp_path):
