@@ -197,20 +197,52 @@ class PairDataset:
 
 
 def batch_iterator(dataset, batch_size: int, *, shuffle: bool = False,
-                   seed: int = 0, drop_last: bool = True,
-                   epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+                   seed: int = 0, drop_last: bool = True, epoch: int = 0,
+                   num_workers: int = 0,
+                   prefetch: int = 2) -> Iterator[Dict[str, np.ndarray]]:
     """Host-side batcher: stacks fixed-shape items into [B, ...] arrays.
 
-    Replaces the torch DataLoader (`train_reg_v11.py:209-214`); the train
-    loop overlaps host loading with device compute via simple async
-    dispatch (JAX ops are async by default).
+    Replaces the torch DataLoader (`train_reg_v11.py:209-214`).  With
+    `num_workers > 0` a thread pool loads the items of each batch in
+    parallel AND assembles up to `prefetch` upcoming batches ahead of the
+    consumer (numpy slicing and the ctypes native filter/resample release
+    the GIL, so threads genuinely overlap; combined with JAX's async
+    dispatch the device never waits on the host for cached datasets).
+    `num_workers=0` is the simple synchronous path (tests, small sets).
     """
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
         np.random.default_rng((seed, epoch)).shuffle(order)
     end = n - (n % batch_size) if drop_last else n
-    for start in range(0, end, batch_size):
+    starts = list(range(0, end, batch_size))
+
+    def load_batch(start):
         idxs = order[start:start + batch_size]
         items = [dataset[int(i)] for i in idxs]
-        yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    if num_workers <= 0:
+        for start in starts:
+            yield load_batch(start)
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_batch_parallel(pool, start):
+        idxs = order[start:start + batch_size]
+        items = list(pool.map(lambda i: dataset[int(i)], idxs))
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    with ThreadPoolExecutor(max_workers=num_workers) as items_pool, \
+            ThreadPoolExecutor(max_workers=max(1, prefetch)) as batch_pool:
+        pending = [batch_pool.submit(load_batch_parallel, items_pool, s)
+                   for s in starts[:prefetch + 1]]
+        next_submit = prefetch + 1
+        while pending:
+            fut = pending.pop(0)
+            if next_submit < len(starts):
+                pending.append(batch_pool.submit(
+                    load_batch_parallel, items_pool, starts[next_submit]))
+                next_submit += 1
+            yield fut.result()

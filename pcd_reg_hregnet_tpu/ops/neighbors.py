@@ -78,7 +78,12 @@ def knn(query: jnp.ndarray, database: jnp.ndarray, k: int,
     """
     d2 = pairwise_sqdist(query, database)
     if approx is None:
-        approx = database.shape[1] >= _APPROX_MIN_N
+        if _KNN_POLICY == 'exact':
+            approx = False
+        elif _KNN_POLICY == 'approx':
+            approx = True
+        else:
+            approx = database.shape[1] >= _APPROX_MIN_N
     if approx and k <= database.shape[1]:
         dists, idx = jax.lax.approx_min_k(
             d2, k, recall_target=recall_target or _APPROX_RECALL_TARGET)
@@ -136,6 +141,19 @@ def _gather_impl() -> str:
 
 
 _GATHER_IMPL: str = None  # resolved lazily once; see _gather_impl
+
+
+_KNN_POLICY: str = 'auto'  # 'auto' (by N) | 'exact' | 'approx'
+
+
+def set_knn_policy(policy: str) -> None:
+    """Pin the global kNN default for call sites that pass ``approx=None``
+    ('auto' = choose by N).  For end-to-end exact-vs-approx A/B runs
+    (VERDICT r1 next-step #5); clears jit caches so traces re-specialise."""
+    global _KNN_POLICY
+    assert policy in ('auto', 'exact', 'approx'), policy
+    _KNN_POLICY = policy
+    jax.clear_caches()
 
 
 def set_gather_impl(impl: str) -> None:

@@ -66,7 +66,13 @@ def _fps_kernel(xyz_ref, w_ref, idx_ref, temp_ref, *, nsample, n, weighted):
             d = d * w_ref[...]
         temp = jnp.minimum(temp_ref[...], jnp.where(valid, d, _NEG))
         temp_ref[...] = temp
-        nxt = jnp.argmax(temp, axis=1).astype(jnp.int32)[:, None]  # [Bt, 1]
+        # argmax as max + first-matching-lane (min index): Mosaic fails to
+        # legalize jnp.argmax's f32->i32 vector cast at Np=128 (one lane
+        # tile); this formulation uses only compares and an integer min,
+        # and keeps argmax's first-max tie-breaking.
+        m = jnp.max(temp, axis=1, keepdims=True)                 # [Bt, 1]
+        nxt = jnp.min(jnp.where(temp >= m, lane, jnp.int32(2 ** 30)),
+                      axis=1, keepdims=True)                     # [Bt, 1]
 
         col = jax.lax.rem(j, 128)
         pending = jnp.where(lane128 == col, nxt, pending)

@@ -64,6 +64,19 @@ _EXPERIMENTS: Dict[str, Config] = {
     'man_registration': _cfg('model_v6', LossConfig(), _V11_TRAIN),
     # baseline HRegNet headline run (README.md:150-156)
     'baseline': _cfg('hregnet', LossConfig(), _V11_TRAIN),
+    # train_feats.py detector stage (prob-chamfer only; Adam 1e-3,
+    # StepLR(10, 0.5), bs 16 — scripts/train_man_keypt_detector.sh,
+    # train/train_feats.py:59-78,184-185); drive via
+    # `pretrain-feats --stage detector`
+    'feats': dataclasses.replace(
+        _cfg('hregnet', LossConfig(), _LEGACY_TRAIN),
+        data=DataConfig(batch_size=16)),
+    # train_feats.py --train_desc descriptor stage (+ matching loss,
+    # detector frozen, bs 8 — scripts/train_man_descriptor.sh)
+    'feats_desc': dataclasses.replace(
+        _cfg('hregnet', LossConfig(), dataclasses.replace(
+            _LEGACY_TRAIN, freeze_detector=True)),
+        data=DataConfig(batch_size=8)),
 }
 
 

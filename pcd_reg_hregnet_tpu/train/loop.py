@@ -117,13 +117,15 @@ def make_eval_step(objective: RegistrationObjective, mesh):
 
 
 def run_epoch(dataset, step, state, mesh, batch_size, *, train: bool,
-              shuffle: bool, seed: int, epoch: int, logger: Optional[MetricLogger] = None):
+              shuffle: bool, seed: int, epoch: int,
+              logger: Optional[MetricLogger] = None, num_workers: int = 0):
     """One pass over the dataset; returns (state, mean metrics)."""
     if hasattr(dataset, 'set_epoch'):
         dataset.set_epoch(epoch)
     sums, count = {}, 0
     for batch in batch_iterator(dataset, batch_size, shuffle=shuffle,
-                                seed=seed, epoch=epoch):
+                                seed=seed, epoch=epoch,
+                                num_workers=num_workers):
         if jax.process_count() > 1:
             # multi-host input contract: every process iterates the same
             # deterministic global order but materialises only its own
@@ -191,6 +193,11 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
         if restored.get('batch_stats') and new_bs:
             new_bs = transplant_backbone(restored['batch_stats'], new_bs)
         state = state.replace(params=new_params, batch_stats=new_bs)
+    if resume == 'auto':
+        # preemption recovery: resume from the newest checkpoint under
+        # this run's ckpt dir if one exists, else start fresh (pod jobs
+        # relaunch with identical args after preemption)
+        resume = latest_checkpoint(os.path.join(log_dir, cfg.train.ckpt_dir))
     if resume:
         state = restore_checkpoint(resume, state)
     train_step = make_train_step(objective, tx, mesh, watch=cfg.train.watch)
@@ -205,7 +212,8 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
         t0 = time.time()
         state, train_metrics = run_epoch(train_ds, train_step, state, mesh, bs,
                                          train=True, shuffle=True,
-                                         seed=cfg.train.seed, epoch=epoch)
+                                         seed=cfg.train.seed, epoch=epoch,
+                                         num_workers=cfg.data.num_workers)
         total_steps += steps_per_epoch
 
         if (epoch + 1) % cfg.train.val_every == 0:
@@ -237,6 +245,20 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
 
     logger.close()
     return state, val_metrics
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Newest checkpoint directory under `ckpt_dir` (by meta.json mtime),
+    or None when none exist — the `--resume auto` preemption hook."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    candidates = []
+    for name in os.listdir(ckpt_dir):
+        meta = os.path.join(ckpt_dir, name, 'meta.json')
+        if os.path.exists(meta):
+            candidates.append((os.path.getmtime(meta),
+                               os.path.join(ckpt_dir, name)))
+    return max(candidates)[1] if candidates else None
 
 
 def save_checkpoint(ckpt_dir: str, name: str, state: TrainState,

@@ -174,6 +174,24 @@ class TestProjection:
         assert item['image_path'].endswith('img.jpg')
 
 
+class TestParallelLoader:
+    def test_threaded_iterator_matches_sync(self):
+        # num_workers > 0 must yield byte-identical batches in the same
+        # order as the synchronous path (determinism contract)
+        from pcd_reg_hregnet_tpu.core.config import DataConfig
+        from pcd_reg_hregnet_tpu.data import batch_iterator, load_dataset
+        cfg = DataConfig(dataset='synthetic', pcd_min_samples=64, batch_size=4)
+        ds = load_dataset(cfg, 'train', length=12, points_per_cloud=128)
+        sync = list(batch_iterator(ds, 4, shuffle=True, seed=3, epoch=1))
+        par = list(batch_iterator(ds, 4, shuffle=True, seed=3, epoch=1,
+                                  num_workers=4, prefetch=2))
+        assert len(sync) == len(par) == 3
+        for a, b in zip(sync, par):
+            assert a.keys() == b.keys()
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+
 class TestVoxelAndStubs:
     def test_voxel_downsample_merges_cells(self):
         from pcd_reg_hregnet_tpu.data.pipeline import voxel_downsample

@@ -80,6 +80,22 @@ class TestKNN:
                 for m in range(0, 32, 5):
                     assert set(np.asarray(i_auto)[b, m]) == set(np.asarray(i_ex)[b, m])
 
+    def test_knn_policy_pin(self):
+        # set_knn_policy('exact') must force the exact branch at approx-N
+        # sizes and return identical neighbour sets on CPU (where the
+        # approx lowering is exact anyway)
+        q = jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 3))
+        db = jax.random.uniform(jax.random.PRNGKey(4), (1, 2048, 3))
+        try:
+            knn_mod.set_knn_policy('exact')
+            _, i_ex = knn_mod.knn(q, db, 8)
+            knn_mod.set_knn_policy('approx')
+            _, i_ap = knn_mod.knn(q, db, 8)
+        finally:
+            knn_mod.set_knn_policy('auto')
+        for m in range(16):
+            assert set(np.asarray(i_ex)[0, m]) == set(np.asarray(i_ap)[0, m])
+
     def test_knn_gather_accelerator_paths_match(self, monkeypatch):
         # the one-hot and two-stage blocked gathers (accelerator paths) must
         # be bit-exact against take_along_axis, including non-multiple-of-

@@ -102,6 +102,24 @@ class TestObjectiveAndStep:
         assert R.shape == (2, 3, 3)
         assert np.isfinite(float(metrics['loss']))
 
+    def test_latest_checkpoint_auto_resume(self, tmp_path):
+        import json as _json
+        import os
+        import time as _time
+        from pcd_reg_hregnet_tpu.train.loop import latest_checkpoint
+        assert latest_checkpoint(str(tmp_path / 'nope')) is None
+        for name in ('best_rre', 'best_val_loss'):
+            d = tmp_path / 'ckpt' / name
+            d.mkdir(parents=True)
+            _json.dump({}, open(d / 'meta.json', 'w'))
+            _time.sleep(0.01)
+        got = latest_checkpoint(str(tmp_path / 'ckpt'))
+        assert got.endswith('best_val_loss')
+        # bump the older one: newest-mtime wins
+        _time.sleep(0.01)
+        os.utime(tmp_path / 'ckpt' / 'best_rre' / 'meta.json')
+        assert latest_checkpoint(str(tmp_path / 'ckpt')).endswith('best_rre')
+
     def test_checkpoint_roundtrip(self, tmp_path):
         cfg = small_experiment('reg_v0')
         ds, batch = make_batch(cfg)
