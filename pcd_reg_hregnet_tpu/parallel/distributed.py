@@ -59,10 +59,19 @@ def initialize(coordinator: Optional[str] = None,
     if coordinator is None and num_processes is None:
         # No explicit multi-process config.  On TPU-pod runtimes
         # jax.distributed.initialize() autodetects; elsewhere it would
-        # hang waiting for a coordinator, so stay single-process.
-        if os.environ.get('TPU_WORKER_HOSTNAMES') or \
+        # hang waiting for a coordinator, so stay single-process.  A
+        # single-entry TPU_WORKER_HOSTNAMES (e.g. 'localhost', set by
+        # single-host tunnel runtimes) is NOT a pod — skip autodetect.
+        hostnames = os.environ.get('TPU_WORKER_HOSTNAMES', '')
+        if ',' in hostnames or \
                 os.environ.get('MEGASCALE_COORDINATOR_ADDRESS'):
-            jax.distributed.initialize()
+            try:
+                jax.distributed.initialize()
+            except RuntimeError:
+                # Backend already initialised by the host runtime —
+                # we're past the point where multi-process setup is
+                # possible, so run single-process.
+                return False
             _initialized = True
             return jax.process_count() > 1
         return False
