@@ -113,6 +113,17 @@ def main(argv=None) -> int:
 
     p_bench = sub.add_parser('bench', help='single-chip throughput benchmark')
 
+    # the reference's standalone plot scripts (visualize/visualize_results.py
+    # __main__) as a subcommand over an eval results JSON
+    p_vis = sub.add_parser('visualize', help='plot suite from eval results JSON')
+    p_vis.add_argument('--results', required=True,
+                       help='results JSON written by `eval --results ...`')
+    p_vis.add_argument('--out', default='plots')
+    p_vis.add_argument('--max-rot', type=float, default=2.0,
+                       help='recall-curve rotation threshold sweep end [deg]')
+    p_vis.add_argument('--max-trans', type=float, default=0.5,
+                       help='recall-curve translation threshold sweep end [m]')
+
     args = parser.parse_args(argv)
 
     if args.cmd == 'train':
@@ -158,6 +169,25 @@ def main(argv=None) -> int:
     if args.cmd == 'bench':
         import runpy
         runpy.run_path('bench.py', run_name='__main__')
+        return 0
+
+    if args.cmd == 'visualize':
+        import json
+        from .utils.visualize import VisualizeResults
+        with open(args.results) as f:
+            res = json.load(f)
+        layers = {k: v for k, v in sorted(res.items())
+                  if k.startswith('layer_') and isinstance(v, dict)}
+        if not layers:
+            print(f'no layer_* entries in {args.results}', file=sys.stderr)
+            return 1
+        finest = layers[max(layers)]   # last layer = finest (ICP if present)
+        viz = VisualizeResults(args.out)
+        paths = [viz.error_distributions(finest, 'finest'),
+                 viz.box_plots(layers),
+                 viz.recall_curve(finest, max_rot=args.max_rot,
+                                  max_trans=args.max_trans)]
+        print('\n'.join(paths))
         return 0
 
     return 1

@@ -61,3 +61,23 @@ class TestFeatureMaps:
         path = viz.plot(name, act)
         import os
         assert os.path.getsize(path) > 0
+
+
+class TestVisualizeCLI:
+    def test_cli_plot_suite(self, tmp_path):
+        # `visualize` subcommand = reference visualize_results.py __main__
+        import json
+        import os
+        rng = np.random.default_rng(3)
+        results = {f'layer_{i}': {
+            'error_calib': rng.normal(scale=0.2, size=(16, 6)).tolist()}
+            for i in range(3)}
+        results['dataset'] = 'synthetic'
+        path = tmp_path / 'results.json'
+        path.write_text(json.dumps(results))
+        from pcd_reg_hregnet_tpu.cli import main
+        out = tmp_path / 'plots'
+        assert main(['visualize', '--results', str(path),
+                     '--out', str(out)]) == 0
+        for f in ('finest_dist.png', 'layers_box.png', 'recall.png'):
+            assert os.path.getsize(out / f) > 0
