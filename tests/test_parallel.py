@@ -78,6 +78,25 @@ class TestHybridMesh:
         assert distributed.initialize() is False
         assert jax.process_count() == 1
 
+    def test_initialize_ignores_single_host_hostnames(self, monkeypatch):
+        # Single-host tunnel runtimes export TPU_WORKER_HOSTNAMES=localhost;
+        # that must NOT trigger pod autodetect (it crashed every train
+        # entry once the backend was live).
+        from pcd_reg_hregnet_tpu.parallel import distributed
+        monkeypatch.setattr(distributed, '_initialized', False)
+        monkeypatch.setenv('TPU_WORKER_HOSTNAMES', 'localhost')
+        monkeypatch.delenv('MEGASCALE_COORDINATOR_ADDRESS', raising=False)
+        assert distributed.initialize() is False
+
+    def test_initialize_survives_live_backend_on_pod_env(self, monkeypatch):
+        # Multi-entry hostnames DO autodetect, but a backend that is
+        # already initialised must degrade to single-process, not raise.
+        from pcd_reg_hregnet_tpu.parallel import distributed
+        monkeypatch.setattr(distributed, '_initialized', False)
+        monkeypatch.setenv('TPU_WORKER_HOSTNAMES', 'host0,host1')
+        jnp.zeros(()).block_until_ready()    # ensure backend is live
+        assert distributed.initialize() is False
+
     def test_train_step_on_hybrid_mesh(self):
         # the full reg_v0 train step compiled over the 2-D mesh: gradient
         # psum over both axes must produce a finite, decreasing loss
