@@ -111,6 +111,19 @@ def main(argv=None) -> int:
                          choices=['detector', 'descriptor'])
     p_feats.add_argument('--pretrain-detector', default=None)
 
+    # single-pair serving entry (the reference buries this flow in its
+    # visualize/test scripts; here it is a first-class deployable command)
+    p_inf = sub.add_parser('infer', help='register one source cloud onto a '
+                                         'target cloud')
+    _common(p_inf)
+    p_inf.add_argument('--ckpt', required=True)
+    p_inf.add_argument('--src', required=True,
+                       help='source cloud (.pcd.bin/.bin, .npy, or .npz)')
+    p_inf.add_argument('--dst', required=True, help='target cloud')
+    p_inf.add_argument('--icp', default=None,
+                       choices=[None, 'point_to_point', 'point_to_plane'])
+    p_inf.add_argument('--out', default=None, help='write the pose JSON here')
+
     p_bench = sub.add_parser('bench', help='single-chip throughput benchmark')
 
     # the reference's standalone plot scripts (visualize/visualize_results.py
@@ -149,6 +162,44 @@ def main(argv=None) -> int:
         out = evaluate(cfg, state, icp=args.icp, results_path=args.results,
                        dataset=ds)
         print(out['summary'])
+        return 0
+
+    if args.cmd == 'infer':
+        import json
+
+        import numpy as np
+
+        from .eval.runner import infer_pair
+        from .train.loop import create_state, restore_checkpoint
+        from .train.objective import RegistrationObjective
+
+        def load_cloud(path):
+            if path.endswith('.npy'):
+                return np.load(path)
+            if path.endswith('.npz'):
+                arrs = np.load(path)
+                key = 'points' if 'points' in arrs else list(arrs)[0]
+                return arrs[key]
+            from .data.truckscenes import load_lidar_bin
+            return load_lidar_bin(path)[0]
+
+        cfg = _build_config(args)
+        src, dst = load_cloud(args.src), load_cloud(args.dst)
+        n = cfg.data.pcd_min_samples
+        sample = {'uncalibed_pcd': np.zeros((1, n, 3), np.float32),
+                  'pcd_left': np.zeros((1, n, 3), np.float32),
+                  'igt': np.eye(4, dtype=np.float32)[None]}
+        objective = RegistrationObjective(cfg)
+        state, _ = create_state(cfg, objective, sample, 1)
+        state = restore_checkpoint(args.ckpt, state)
+        out = infer_pair(cfg, state, src, dst, icp=args.icp)
+        text = json.dumps(out, indent=1)
+        if args.out:
+            import os
+            os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)
+            with open(args.out, 'w') as f:
+                f.write(text)
+        print(text)
         return 0
 
     if args.cmd == 'pretrain-feats':

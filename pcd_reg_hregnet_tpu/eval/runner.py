@@ -94,3 +94,55 @@ def evaluate(cfg: Config, state: TrainState, *, split: str = 'test',
     combined['summary'] = evaluator.evaluators[num_layers - 1].summary()
     combined['summary_network'] = evaluator.evaluators[2].summary()
     return combined
+
+
+def infer_pair(cfg: Config, state: TrainState, src_points: np.ndarray,
+               dst_points: np.ndarray, *, icp: Optional[str] = None,
+               icp_threshold: float = 1.0, icp_iters: int = 30) -> Dict:
+    """Register ONE source cloud onto one target cloud (serving entry).
+
+    The reference only exposes this flow buried inside its visualize /
+    test scripts (`test/test_v4.py:100-173`); here it is the deployable
+    single-pair path: raw clouds in, finest-layer pose (optionally ICP-
+    refined) out.  Clouds may be any length; they are range-filtered and
+    resampled to the model's fixed input size.
+
+    Returns {'transform': [4,4], 'rotation': [3,3], 'translation': [3],
+    'transform_icp': ... when requested}.
+    """
+    from ..data.pipeline import range_filter, resample
+
+    rng = np.random.default_rng(0)
+    prep = []
+    for pts in (src_points, dst_points):
+        pts = np.asarray(pts, np.float32)[..., :3]
+        pts, _ = range_filter(pts, cfg.data.max_range)
+        pts, _ = resample(pts, cfg.data.pcd_min_samples, rng)
+        prep.append(pts[None])
+    src, dst = prep
+
+    objective = RegistrationObjective(cfg)
+
+    @jax.jit
+    def forward(params, batch_stats, s, d):
+        _, _, ret = objective.apply(
+            {'params': params, 'batch_stats': batch_stats},
+            {'uncalibed_pcd': s, 'pcd_left': d,
+             'igt': jnp.eye(4)[None]}, train=False)
+        return ret['rotation'][-1], ret['translation'][-1]
+
+    R, t = forward(state.params, state.batch_stats, src, dst)
+    pose = se3.pack(R, t)
+    out = {'transform': np.asarray(pose[0], np.float64).tolist(),
+           'rotation': np.asarray(R[0], np.float64).tolist(),
+           'translation': np.asarray(t[0], np.float64).tolist()}
+    if icp == 'point_to_point':
+        refined = icp_point_to_point(jnp.asarray(src), jnp.asarray(dst),
+                                     pose, icp_threshold, icp_iters)
+        out['transform_icp'] = np.asarray(refined[0], np.float64).tolist()
+    elif icp == 'point_to_plane':
+        normals = estimate_normals(jnp.asarray(dst))
+        refined = icp_point_to_plane(jnp.asarray(src), jnp.asarray(dst),
+                                     normals, pose, icp_threshold, icp_iters)
+        out['transform_icp'] = np.asarray(refined[0], np.float64).tolist()
+    return out

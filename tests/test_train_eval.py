@@ -214,3 +214,37 @@ class TestICP:
         with pytest.raises(ValueError):
             refine(jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 3)), jnp.eye(4)[None],
                    method='nope')
+
+
+class TestInferPair:
+    def test_cli_infer_single_pair(self, tmp_path):
+        # serving entry: two raw clouds in -> finest pose JSON out
+        import json
+
+        from pcd_reg_hregnet_tpu.cli import main
+
+        cfg = small_experiment('reg_v0')
+        ds, batch = make_batch(cfg)
+        obj = RegistrationObjective(cfg)
+        state, _ = create_state(cfg, obj, batch, 1)
+        ckpt = save_checkpoint(str(tmp_path), 'best_rre', state, cfg, epoch=0)
+
+        rng = np.random.default_rng(0)
+        src = rng.uniform(-40, 40, size=(500, 3)).astype(np.float32)
+        np.save(tmp_path / 'src.npy', src)
+        np.savez(tmp_path / 'dst.npz', points=src + [0.1, 0.0, 0.0])
+
+        out_path = tmp_path / 'pose.json'
+        rc = main(['infer', '--experiment', 'reg_v0', '--dataset', 'synthetic',
+                   '--npoints', '128', '--debug-scale',
+                   '--ckpt', ckpt, '--src', str(tmp_path / 'src.npy'),
+                   '--dst', str(tmp_path / 'dst.npz'),
+                   '--icp', 'point_to_point', '--out', str(out_path)])
+        assert rc == 0
+        pose = json.loads(out_path.read_text())
+        T = np.asarray(pose['transform'])
+        assert T.shape == (4, 4) and np.isfinite(T).all()
+        # bottom row of a rigid transform
+        np.testing.assert_allclose(T[3], [0, 0, 0, 1], atol=1e-5)
+        Ticp = np.asarray(pose['transform_icp'])
+        assert Ticp.shape == (4, 4) and np.isfinite(Ticp).all()
