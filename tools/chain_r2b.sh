@@ -21,8 +21,9 @@ python tools/ab_knn.py runs/v11_r2/ckpt/best_rre --experiment reg_v11 \
 
 python tools/check_kernels.py > results/check_kernels_tpu.txt 2>&1
 
+# 120 epochs = the reference's A2 training length (train_reg_v11 on MAN)
 python -m pcd_reg_hregnet_tpu train --experiment reg_v11 --dataset synthetic \
-    --batch-size 8 --epochs 150 --compute-dtype bfloat16 \
+    --batch-size 8 --epochs 120 --compute-dtype bfloat16 \
     --log-dir runs/v11_r2_bf16
 
 python -m pcd_reg_hregnet_tpu eval --experiment reg_v11 --dataset synthetic \
