@@ -208,7 +208,17 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
     val_metrics: Dict[str, float] = {}
     total_steps = 0
 
-    for epoch in range(cfg.train.epochs):
+    # Preemption recovery: a restored optimizer step tells us how many
+    # epochs are already done, so a relaunch with identical args continues
+    # the epoch count (and the LR schedule, which is step-driven) instead
+    # of training cfg.train.epochs MORE epochs.
+    start_epoch = min(int(np.asarray(state.step)) // steps_per_epoch,
+                      cfg.train.epochs)
+    if start_epoch:
+        print(f'[resume] optimizer step {int(np.asarray(state.step))} -> '
+              f'continuing at epoch {start_epoch}/{cfg.train.epochs}')
+
+    for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         state, train_metrics = run_epoch(train_ds, train_step, state, mesh, bs,
                                          train=True, shuffle=True,

@@ -44,9 +44,19 @@ class MetricLogger:
         row.update({f'train/{k}': v for k, v in train_metrics.items()})
         row.update({f'val/{k}': v for k, v in val_metrics.items()})
         if self._writer is None:
-            self._csv_file = open(self.csv_path, 'w', newline='')
-            self._writer = csv.DictWriter(self._csv_file, fieldnames=list(row))
-            self._writer.writeheader()
+            # append across relaunches (preemption resume keeps one
+            # continuous history) when the existing header matches
+            fields = list(row)
+            append = False
+            if os.path.exists(self.csv_path):
+                with open(self.csv_path, newline='') as f:
+                    header = f.readline().strip()
+                append = header == ','.join(fields)
+            self._csv_file = open(self.csv_path, 'a' if append else 'w',
+                                  newline='')
+            self._writer = csv.DictWriter(self._csv_file, fieldnames=fields)
+            if not append:
+                self._writer.writeheader()
         self._writer.writerow({k: row.get(k, '') for k in self._writer.fieldnames})
         self._csv_file.flush()
         if self.wandb is not None:

@@ -248,3 +248,33 @@ class TestInferPair:
         np.testing.assert_allclose(T[3], [0, 0, 0, 1], atol=1e-5)
         Ticp = np.asarray(pose['transform_icp'])
         assert Ticp.shape == (4, 4) and np.isfinite(Ticp).all()
+
+
+class TestResumeContinuesEpochs:
+    def test_resume_auto_continues_epoch_count(self, tmp_path):
+        # Preemption recovery: a relaunch with identical args must train
+        # only the REMAINING epochs (start epoch derived from the restored
+        # optimizer step), and metrics.csv must append, not truncate.
+        from pcd_reg_hregnet_tpu.train import fit
+
+        cfg = small_experiment('reg_v0')
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=2))
+        ds, _ = make_batch(cfg)
+        log_dir = str(tmp_path / 'run')
+        state1, _ = fit(cfg, log_dir=log_dir, datasets=(ds, ds))
+        step_after = int(np.asarray(state1.step))
+        assert step_after == 2 * (len(ds) // cfg.data.batch_size)
+
+        cfg3 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=3))
+        state2, _ = fit(cfg3, log_dir=log_dir, datasets=(ds, ds),
+                        resume='auto')
+        # exactly ONE more epoch of steps, not three
+        assert int(np.asarray(state2.step)) == \
+            step_after + len(ds) // cfg.data.batch_size
+
+        import csv as _csv
+        with open(f'{log_dir}/metrics.csv') as f:
+            rows = list(_csv.DictReader(f))
+        assert [r['epoch'] for r in rows] == ['0', '1', '2']
