@@ -25,7 +25,9 @@ for attempt in $(seq 1 "$ATTEMPTS"); do
     while kill -0 "$PID" 2>/dev/null; do
         sleep 30
         NOW=$(date +%s)
-        if [ -f "$CSV" ]; then
+        # a csv row counts as progress only if written by THIS process
+        # (a pre-existing csv from the previous segment is stale)
+        if [ -f "$CSV" ] && [ "$(stat -c %Y "$CSV")" -gt "$START" ]; then
             AGE=$((NOW - $(stat -c %Y "$CSV")))
             LIMIT=$STALL_SECS
         else
