@@ -232,7 +232,9 @@ def main(argv=None) -> int:
         if not layers:
             print(f'no layer_* entries in {args.results}', file=sys.stderr)
             return 1
-        finest = layers[max(layers)]   # last layer = finest (ICP if present)
+        # numeric suffix sort: 'layer_10' outranks 'layer_9' (lexicographic
+        # max would not — ADVICE r2)
+        finest = layers[max(layers, key=lambda k: int(k.split('_')[-1]))]
         viz = VisualizeResults(args.out)
         paths = [viz.error_distributions(finest, 'finest'),
                  viz.box_plots(layers),

@@ -57,6 +57,9 @@ class ModelConfig:
     ptv3_patch_sizes: Tuple[int, ...] = (256, 128, 64)  # per pyramid level
     ptv3_grid_size: float = 0.01
     ptv3_mlp_ratio: float = 4.0
+    # CPE operator: 'knn' (3D continuous conv — the sparse-conv
+    # equivalent), 'curve' (serialized depthwise conv), 'none'
+    ptv3_cpe: str = 'knn'
     # dtype of the compute path ('bfloat16' activations are the TPU default)
     compute_dtype: str = 'float32'
 

@@ -38,7 +38,8 @@ class SyntheticPairSource:
     def _scene_points(self, rng: np.random.Generator, n: int) -> np.ndarray:
         ext = self.extent
         n_ground = n // 3
-        n_struct = n - n_ground
+        n_poles = n // 12
+        n_struct = n - n_ground - n_poles
 
         # ground plane with gentle undulation
         g_xy = rng.uniform(-ext, ext, size=(n_ground, 2))
@@ -46,9 +47,11 @@ class SyntheticPairSource:
             + rng.normal(0, 0.02, n_ground)
         ground = np.column_stack([g_xy, g_z])
 
-        # boxes: sample points on the surfaces of ~24 random boxes
+        # boxes: sample points on the surfaces of random boxes; the count
+        # varies per scene so splits/scenes differ structurally, not just in
+        # layout (VERDICT r2 #3: differentiated densities per split)
         boxes = []
-        n_boxes = 24
+        n_boxes = int(rng.integers(16, 33))
         per_box = n_struct // n_boxes
         for _ in range(n_boxes):
             center = rng.uniform(-ext, ext, size=2)
@@ -60,7 +63,27 @@ class SyntheticPairSource:
             x = np.where(face == 0, -0.5, np.where(face == 1, 0.5, u)) * size[0]
             y = np.where(face == 2, -0.5, np.where(face == 3, 0.5, u)) * size[1]
             boxes.append(np.column_stack([center[0] + x, center[1] + y, z]))
-        pts = np.concatenate([ground] + boxes, axis=0)
+
+        # pole-like vertical structures (lamp posts / trunks / sign posts):
+        # thin cylinders scattered over the scene.  Real LiDAR scenes are
+        # full of them and they are the features that pin down yaw and
+        # horizontal translation (a ground plane constrains only z / roll /
+        # pitch) — the docstring always promised them.
+        n_pole = int(rng.integers(12, 25))
+        per_pole = max(1, n_poles // n_pole)
+        p_center = rng.uniform(-ext, ext, size=(n_pole, 2))
+        p_height = rng.uniform(2.0, 8.0, size=n_pole)
+        p_radius = rng.uniform(0.05, 0.25, size=n_pole)
+        theta = rng.uniform(0, 2 * np.pi, size=(n_pole, per_pole))
+        pz = rng.uniform(0, 1, size=(n_pole, per_pole)) * p_height[:, None]
+        px = p_center[:, 0:1] + p_radius[:, None] * np.cos(theta)
+        py = p_center[:, 1:2] + p_radius[:, None] * np.sin(theta)
+        poles = np.stack([px, py, pz], axis=-1).reshape(-1, 3)
+
+        pts = np.concatenate([ground] + boxes + [poles], axis=0)
+        if len(pts) < n:  # integer-division shortfall: pad from the ground
+            extra = n - len(pts)
+            pts = np.concatenate([pts, ground[:extra]], axis=0)
         return pts[: n].astype(np.float32)
 
     def load_pair(self, index: int) -> Dict[str, np.ndarray]:

@@ -48,6 +48,56 @@ class SerializedDepthwiseConv(nn.Module):
         return y.astype(x.dtype)
 
 
+class KnnCPE(nn.Module):
+    """3D-neighbourhood conditional positional encoding (continuous conv).
+
+    The reference's CPE is a submanifold sparse 3x3x3 conv
+    (`ptv3.py:546-555`) — a true 3D-neighbourhood operator whose weights
+    depend on the relative voxel offset.  The curve depthwise conv only
+    mixes 1D curve neighbours (z-order locality is probabilistic and
+    anisotropic), which weakens the geometric prior.  This is the
+    TPU-native equivalent of the sparse conv: for each point's k nearest
+    neighbours, a tiny MLP maps the relative offset to per-channel
+    weights (a continuous depthwise kernel, PointConv/KPConv-style), and
+    features are aggregated as a weighted mean:
+
+        y_i = mean_j  w(p_j - p_i) * x_j,   w: R^4 -> R^C
+
+    kNN indices are computed once per encoder (xyz is constant across
+    blocks) and shared; the gather is the blocked one-hot einsum
+    (`ops/neighbors.knn_gather`), so everything rides the MXU.
+    """
+    channels: int
+    hidden: int = 16
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, nbr_idx, rel):
+        # x: [B, N, C]; nbr_idx: [B, N, k]; rel: [B, N, k, 4] (rel_xyz, dist)
+        from ..ops.neighbors import knn_gather
+        h = knn_gather(x, nbr_idx)                              # [B,N,k,C]
+        w = nn.Dense(self.hidden, dtype=self.dtype)(rel)
+        w = nn.gelu(w)
+        w = nn.Dense(self.channels, dtype=self.dtype)(w)        # [B,N,k,C]
+        return jnp.mean(h * w.astype(h.dtype), axis=2)          # [B,N,C]
+
+
+def cpe_neighbors(xyz: jnp.ndarray, k: int = 8):
+    """kNN indices + normalised relative-offset features for `KnnCPE`.
+
+    Offsets are scaled by the mean neighbour distance per cloud so the
+    weight MLP sees O(1) inputs at every pyramid level (keypoint spacing
+    varies ~8x between L1 and L3)."""
+    from ..ops.neighbors import knn, knn_gather
+    _, idx = knn(xyz, xyz, k, approx=False)
+    nbr_xyz = knn_gather(xyz, idx)                              # [B,N,k,3]
+    rel = nbr_xyz - xyz[:, :, None, :]
+    dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1, keepdims=True) + 1e-12)
+    scale = jnp.mean(dist, axis=(1, 2), keepdims=True) + 1e-6   # [B,1,1,1]
+    rel = jnp.concatenate([rel, dist], axis=-1) / scale
+    return idx, rel
+
+
 _ATTN_IMPL: str = None            # resolved lazily once; see _attn_impl
 _PALLAS_MIN_PATCH = 512           # dense [K, K] logits start spilling here
 
@@ -146,20 +196,33 @@ class PTv3Mlp(nn.Module):
 
 
 class PTv3Block(nn.Module):
-    """CPE + pre-norm patch attention + pre-norm MLP (`ptv3.py:519-613`)."""
+    """CPE + pre-norm patch attention + pre-norm MLP (`ptv3.py:519-613`).
+
+    `cpe` selects the positional-encoding operator: 'knn' (3D continuous
+    conv, the sparse-conv equivalent — pass `nbr_idx`/`rel` from
+    `cpe_neighbors`), 'curve' (serialized depthwise conv), 'none'.
+    """
     channels: int
     num_heads: int
     patch_size: int
     mlp_ratio: float = 4.0
+    cpe: str = 'curve'
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        # CPE: serialized depthwise conv + linear + norm, residual
-        cpe = SerializedDepthwiseConv(self.channels, dtype=self.dtype)(x)
-        cpe = nn.Dense(self.channels, dtype=self.dtype)(cpe).astype(x.dtype)
-        cpe = nn.LayerNorm(epsilon=1e-2)(cpe)
-        x = x + cpe
+    def __call__(self, x, nbr_idx=None, rel=None):
+        # CPE + linear + norm, residual (`ptv3.py:539-560`)
+        if self.cpe == 'knn':
+            assert nbr_idx is not None and rel is not None
+            cpe = KnnCPE(self.channels, dtype=self.dtype)(x, nbr_idx, rel)
+        elif self.cpe == 'curve':
+            cpe = SerializedDepthwiseConv(self.channels, dtype=self.dtype)(x)
+        else:
+            cpe = None
+        if cpe is not None:
+            cpe = nn.Dense(self.channels, dtype=self.dtype)(cpe).astype(x.dtype)
+            cpe = nn.LayerNorm(epsilon=1e-2)(cpe)
+            x = x + cpe
 
         h = nn.LayerNorm(epsilon=1e-2)(x)
         x = x + PatchAttention(self.channels, self.num_heads, self.patch_size,
@@ -238,6 +301,7 @@ class PointTransformerV3(nn.Module):
     mlp_ratio: float = 4.0
     grid_size: float = 0.01
     orders: Tuple[str, ...] = ('z', 'hilbert')
+    cpe: str = 'curve'
     axis_name: Optional[str] = None
 
     def _orders(self, xyz):
@@ -253,12 +317,26 @@ class PointTransformerV3(nn.Module):
     def _run_blocks(self, xyz, x, depth, heads, train):
         """Blocks alternate serialization orders (`ptv3.py:905-918`)."""
         table = self._orders(xyz)
+        nbr_idx = rel = None
+        if self.cpe == 'knn':
+            # one kNN per stage, in the natural (unserialized) order; each
+            # block permutes the indices into its own serialized frame
+            nbr_idx, rel = cpe_neighbors(xyz)
         for b in range(depth):
             order, inverse = table[b % len(table)]
             xs = jnp.take_along_axis(x, order[..., None], axis=1)
+            bi = br = None
+            if self.cpe == 'knn':
+                # neighbour idx in serialized frame: positions permute by
+                # `order`, stored indices re-map through `inverse`
+                bi = jnp.take_along_axis(
+                    jnp.take_along_axis(inverse, nbr_idx.reshape(nbr_idx.shape[0], -1),
+                                        axis=1).reshape(nbr_idx.shape),
+                    order[..., None], axis=1)
+                br = jnp.take_along_axis(rel, order[..., None, None], axis=1)
             xs = PTv3Block(x.shape[-1], heads,
                            min(self.patch_size, x.shape[1]),
-                           self.mlp_ratio)(xs)
+                           self.mlp_ratio, cpe=self.cpe)(xs, bi, br)
             x = jnp.take_along_axis(xs, inverse[..., None], axis=1)
         return x
 
@@ -269,7 +347,11 @@ class PointTransformerV3(nn.Module):
         x = jnp.take_along_axis(feat, order[..., None], axis=1)
         x = SerializedDepthwiseConv(x.shape[-1], kernel=5)(x)
         x = nn.Dense(self.enc_channels[0])(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.01,
+        # reference stem BN: torch momentum 0.01 (`ptv3_mod.py:66`) = slow
+        # EMA update; flax momentum is the complement (running-average
+        # decay), so 0.99 here — 0.01 would make running stats track the
+        # last batch and break train/eval consistency
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-2, axis_name=self.axis_name)(x)
         x = nn.gelu(x)
         x = jnp.take_along_axis(x, inverse[..., None], axis=1)
@@ -318,6 +400,7 @@ class PointTransformerEncoder(nn.Module):
     patch_size: int = 256
     mlp_ratio: float = 4.0
     grid_size: float = 0.01
+    cpe: str = 'curve'
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -331,10 +414,18 @@ class PointTransformerEncoder(nn.Module):
         order, inverse = serialization.serialize(xyz, self.grid_size, 'z')
         x = jnp.take_along_axis(feat, order[..., None], axis=1)
 
+        nbr_idx = rel = None
+        if self.cpe == 'knn':
+            # xyz is constant across blocks: one kNN (on the serialized
+            # cloud, so indices are already in-frame) shared by every CPE
+            xyz_s = jnp.take_along_axis(xyz, order[..., None], axis=1)
+            nbr_idx, rel = cpe_neighbors(xyz_s)
+
         # Embedding stem (`ptv3.py:760-795`): serialized conv + norm + GELU
         x = SerializedDepthwiseConv(x.shape[-1], kernel=5, dtype=self.dtype)(x)
         x = nn.Dense(self.channels, dtype=self.dtype)(x).astype(jnp.float32)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.01,
+        # torch momentum 0.01 -> flax decay 0.99 (see PointTransformerV3 stem)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-2, axis_name=self.axis_name)(x)
         x = nn.gelu(x)
 
@@ -346,7 +437,7 @@ class PointTransformerEncoder(nn.Module):
                 x = nn.gelu(x)
             for _ in range(depth):
                 x = PTv3Block(self.channels, self.num_heads[s],
-                              self.patch_size, self.mlp_ratio,
-                              dtype=self.dtype)(x)
+                              self.patch_size, self.mlp_ratio, cpe=self.cpe,
+                              dtype=self.dtype)(x, nbr_idx, rel)
 
         return jnp.take_along_axis(x, inverse[..., None], axis=1)

@@ -54,6 +54,7 @@ class HierFeatureExtraction(nn.Module):
                     num_heads=cfg.ptv3_num_heads,
                     patch_size=cfg.ptv3_patch_sizes[i],
                     mlp_ratio=cfg.ptv3_mlp_ratio, grid_size=cfg.ptv3_grid_size,
+                    cpe=cfg.ptv3_cpe,
                     axis_name=self.axis_name, dtype=dtype, name=f'ptv3_{i + 1}')
                 desc = enc(xyz, att_feat, train)
             else:

@@ -67,11 +67,20 @@ def initialize(coordinator: Optional[str] = None,
                 os.environ.get('MEGASCALE_COORDINATOR_ADDRESS'):
             try:
                 jax.distributed.initialize()
-            except RuntimeError:
-                # Backend already initialised by the host runtime —
-                # we're past the point where multi-process setup is
-                # possible, so run single-process.
-                return False
+            except RuntimeError as e:
+                # Only the backend-already-live cases may fall through to
+                # single-process (the XLA backend was brought up — by the
+                # host runtime or an earlier JAX call — before we got
+                # here, so multi-process setup is no longer possible).
+                # Any other failure on a real pod (e.g. coordinator
+                # unreachable) must NOT silently degrade into N
+                # independent duplicate jobs — re-raise it (ADVICE r2).
+                msg = str(e).lower()
+                if ('already initialized' not in msg
+                        and 'must be called before' not in msg):
+                    raise
+                _initialized = True
+                return jax.process_count() > 1
             _initialized = True
             return jax.process_count() > 1
         return False

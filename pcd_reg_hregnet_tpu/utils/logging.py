@@ -16,8 +16,12 @@ from typing import Dict, Optional
 
 
 class MetricLogger:
-    def __init__(self, log_dir: str, cfg=None, use_wandb: Optional[bool] = None):
+    def __init__(self, log_dir: str, cfg=None, use_wandb: Optional[bool] = None,
+                 trim_from_epoch: Optional[int] = None):
         self.log_dir = log_dir
+        # on preemption resume: drop prior rows with epoch >= this value so
+        # the csv keeps exactly one row per epoch (replayed epochs rewrite)
+        self.trim_from_epoch = trim_from_epoch
         os.makedirs(log_dir, exist_ok=True)
         self.csv_path = os.path.join(log_dir, 'metrics.csv')
         self._csv_file = None
@@ -44,19 +48,37 @@ class MetricLogger:
         row.update({f'train/{k}': v for k, v in train_metrics.items()})
         row.update({f'val/{k}': v for k, v in val_metrics.items()})
         if self._writer is None:
-            # append across relaunches (preemption resume keeps one
-            # continuous history) when the existing header matches
+            # Append across relaunches (preemption resume keeps one
+            # continuous history).  When an existing file's header differs
+            # (e.g. val_every > 1 means the first fresh row has no val/*
+            # columns while a resumed run's does), append under the UNION of
+            # both field sets and rewrite the header line — never truncate
+            # prior history (ADVICE r2: exact-match 'w' mode silently wiped
+            # the old csv).
             fields = list(row)
-            append = False
+            append, old_rows = False, []
             if os.path.exists(self.csv_path):
                 with open(self.csv_path, newline='') as f:
                     header = f.readline().strip()
-                append = header == ','.join(fields)
+                append = (header == ','.join(fields)
+                          and self.trim_from_epoch is None)
+                if not append and header:
+                    old_fields = header.split(',')
+                    fields = old_fields + [k for k in fields
+                                           if k not in old_fields]
+                    with open(self.csv_path, newline='') as f:
+                        old_rows = list(csv.DictReader(f))
+                    if self.trim_from_epoch is not None:
+                        old_rows = [
+                            r for r in old_rows if r.get('epoch')
+                            and int(float(r['epoch'])) < self.trim_from_epoch]
             self._csv_file = open(self.csv_path, 'a' if append else 'w',
                                   newline='')
             self._writer = csv.DictWriter(self._csv_file, fieldnames=fields)
             if not append:
                 self._writer.writeheader()
+                for r in old_rows:   # preserved history under the new header
+                    self._writer.writerow({k: r.get(k, '') for k in fields})
         self._writer.writerow({k: row.get(k, '') for k in self._writer.fieldnames})
         self._csv_file.flush()
         if self.wandb is not None:

@@ -120,6 +120,41 @@ class TestObjectiveAndStep:
         os.utime(tmp_path / 'ckpt' / 'best_rre' / 'meta.json')
         assert latest_checkpoint(str(tmp_path / 'ckpt')).endswith('best_rre')
 
+    def test_preemption_resume_continues_at_interrupt_epoch(self, tmp_path):
+        # VERDICT r2 #5: a rolling 'last' checkpoint is written every epoch;
+        # --resume auto prefers it, so a preempted run continues at the
+        # interrupt epoch (NOT the last best-metric epoch), keeps the best
+        # watermarks, and metrics.csv has exactly one row per epoch.
+        import csv
+        import json as _json
+        import os
+        from pcd_reg_hregnet_tpu.train.loop import fit, latest_checkpoint
+        cfg = small_experiment('reg_v0')
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=2))
+        ds = load_dataset(cfg.data, 'train', length=4, points_per_cloud=256)
+        vs = load_dataset(cfg.data, 'val', length=2, points_per_cloud=256)
+        log_dir = str(tmp_path / 'run')
+        state, _ = fit(cfg, log_dir=log_dir, datasets=(ds, vs))
+        steps_per_epoch = len(ds) // cfg.data.batch_size
+        assert int(np.asarray(state.step)) == 2 * steps_per_epoch
+
+        last = latest_checkpoint(os.path.join(log_dir, cfg.train.ckpt_dir))
+        assert last is not None and last.endswith('last')
+        meta = _json.load(open(os.path.join(last, 'meta.json')))
+        assert meta['epoch'] == 1 and 'best' in meta
+
+        # "preemption": relaunch with more epochs and resume auto — must
+        # continue at epoch 2, not replay 0..1
+        cfg3 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=3))
+        state3, _ = fit(cfg3, log_dir=log_dir, datasets=(ds, vs),
+                        resume='auto')
+        assert int(np.asarray(state3.step)) == 3 * steps_per_epoch
+        with open(os.path.join(log_dir, 'metrics.csv')) as f:
+            epochs = [int(float(r['epoch'])) for r in csv.DictReader(f)]
+        assert epochs == [0, 1, 2]
+
     def test_checkpoint_roundtrip(self, tmp_path):
         cfg = small_experiment('reg_v0')
         ds, batch = make_batch(cfg)
