@@ -40,6 +40,10 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument('--debug-scale', action='store_true',
                    help='shrink the keypoint pyramid (64/32/16 samples) and '
                         'PTv3 stack for CPU smoke runs / CI')
+    p.add_argument('--ptv3-cpe', default=None, choices=[None, 'knn', 'curve', 'none'],
+                   help='PTv3 positional-encoding operator (ablations)')
+    p.add_argument('--ptv3-grid-size', type=float, default=None,
+                   help='PTv3 serialization voxel size (ablations)')
 
 
 def _build_config(args):
@@ -72,6 +76,13 @@ def _build_config(args):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            compute_dtype=args.compute_dtype))
+    if getattr(args, 'ptv3_cpe', None):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, ptv3_cpe=args.ptv3_cpe))
+    if getattr(args, 'ptv3_grid_size', None):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           ptv3_grid_size=args.ptv3_grid_size))
     if getattr(args, 'debug_scale', False):
         from .core.config import LevelConfig
         model_over = dict(levels=(LevelConfig(64, 16, (16, 16, 32), 32),
@@ -100,9 +111,14 @@ def main(argv=None) -> int:
 
     p_eval = sub.add_parser('eval', help='evaluate on the test split')
     _common(p_eval)
-    p_eval.add_argument('--ckpt', required=True)
+    p_eval.add_argument('--ckpt', default=None,
+                        help='required unless --icp-only')
     p_eval.add_argument('--icp', default=None,
                         choices=[None, 'point_to_point', 'point_to_plane'])
+    p_eval.add_argument('--icp-only', action='store_true',
+                        help='classical ICP from identity, no network '
+                             '(reference README ICP-only rows)')
+    p_eval.add_argument('--icp-iters', type=int, default=None)
     p_eval.add_argument('--results', default='results/results.json')
 
     p_feats = sub.add_parser('pretrain-feats', help='detector/descriptor pretrain')
@@ -150,11 +166,21 @@ def main(argv=None) -> int:
     if args.cmd == 'eval':
         import jax
         from .data import batch_iterator, load_dataset
-        from .eval.runner import evaluate
+        from .eval.runner import evaluate, evaluate_icp_only
         from .train.loop import create_state, restore_checkpoint
         from .train.objective import RegistrationObjective
         cfg = _build_config(args)
         ds = load_dataset(cfg.data, 'test')
+        if args.icp_only:
+            out = evaluate_icp_only(
+                cfg, icp=args.icp or 'point_to_point',
+                icp_iters=args.icp_iters or 100,
+                results_path=args.results, dataset=ds)
+            print(out['summary'])
+            return 0
+        if not args.ckpt:
+            print('--ckpt is required unless --icp-only', file=sys.stderr)
+            return 2
         sample = next(batch_iterator(ds, cfg.data.batch_size, drop_last=False))
         objective = RegistrationObjective(cfg)
         state, _ = create_state(cfg, objective, sample, 1)

@@ -96,6 +96,54 @@ def evaluate(cfg: Config, state: TrainState, *, split: str = 'test',
     return combined
 
 
+def evaluate_icp_only(cfg: Config, *, icp: str = 'point_to_point',
+                      split: str = 'test', icp_threshold: float = 1.0,
+                      icp_iters: int = 100,
+                      results_path: Optional[str] = None,
+                      dataset=None) -> Dict:
+    """Classical-ICP baseline rows: ICP from the IDENTITY pose, no network.
+
+    Mirrors the reference's ICP-only table rows (`README.md:185-198`,
+    produced by `test/test_v4.py:140-173` with the init pose removed) —
+    the baseline every learned row is compared against.  Uses the
+    on-device fixed-iteration solvers (`eval/icp.py`), not CPU Open3D.
+    """
+    from .calib_eval import CalibEval
+    ds = dataset if dataset is not None else load_dataset(cfg.data, split)
+    bs = cfg.data.batch_size
+    evaluator = CalibEval()
+
+    @jax.jit
+    def forward(batch):
+        eye = jnp.broadcast_to(jnp.eye(4), (batch['igt'].shape[0], 4, 4))
+        if icp == 'point_to_plane':
+            normals = estimate_normals(batch['pcd_left'])
+            return icp_point_to_plane(batch['uncalibed_pcd'],
+                                      batch['pcd_left'], normals, eye,
+                                      icp_threshold, icp_iters)
+        return icp_point_to_point(batch['uncalibed_pcd'], batch['pcd_left'],
+                                  eye, icp_threshold, icp_iters)
+
+    for batch in batch_iterator(ds, bs, shuffle=False, drop_last=False):
+        pred = forward(jax.tree.map(jnp.asarray, batch))
+        evaluator.add_batch(jnp.asarray(batch['igt']), pred)
+
+    combined = {'layer_0': evaluator.get_results(),
+                'summary': evaluator.summary(),
+                'dataset': cfg.data.dataset + cfg.data.version,
+                'model': f'icp_only_{icp}',
+                'translation': cfg.data.max_trans_error,
+                'rotation': cfg.data.max_rot_error,
+                'icp': icp, 'icp_iters': icp_iters,
+                'icp_threshold': icp_threshold}
+    if results_path:
+        os.makedirs(os.path.dirname(results_path) or '.', exist_ok=True)
+        import json
+        with open(results_path, 'w') as f:
+            json.dump(combined, f, indent=2, default=float)
+    return combined
+
+
 def infer_pair(cfg: Config, state: TrainState, src_points: np.ndarray,
                dst_points: np.ndarray, *, icp: Optional[str] = None,
                icp_threshold: float = 1.0, icp_iters: int = 30) -> Dict:

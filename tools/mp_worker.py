@@ -60,9 +60,27 @@ def main() -> int:
         train=dataclasses.replace(cfg.train, lr=1e-3, schedule='constant'))
 
     ds = load_dataset(cfg.data, 'train', length=bs, points_per_cloud=128)
-    global_batch = next(batch_iterator(ds, bs))       # same on every process
+
+    class CountingDataset:
+        """Proxy asserting the per-process input contract: each process
+        loads exactly global_batch / process_count items (VERDICT r2 #6)."""
+
+        def __init__(self, inner):
+            self.inner, self.loads = inner, 0
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __getitem__(self, i):
+            self.loads += 1
+            return self.inner[i]
+
+    counted = CountingDataset(ds)
     sl = distributed.process_local_batch_slice(bs)
-    local = jax.tree.map(lambda x: x[sl], global_batch)
+    local = next(batch_iterator(counted, bs, local_slice=sl))
+    expect = bs // jax.process_count()
+    assert counted.loads == expect, (counted.loads, expect)
+    assert local['pcd_left'].shape[0] == expect
 
     objective = RegistrationObjective(cfg)
     state, tx = create_state(cfg, objective, local, 1)
