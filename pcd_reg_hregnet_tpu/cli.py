@@ -266,6 +266,8 @@ def main(argv=None) -> int:
                  viz.box_plots(layers),
                  viz.recall_curve(finest, max_rot=args.max_rot,
                                   max_trans=args.max_trans)]
+        if finest.get('rre'):
+            paths.append(viz.rre_histogram(finest, 'finest'))
         print('\n'.join(paths))
         return 0
 

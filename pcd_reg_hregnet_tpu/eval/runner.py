@@ -29,11 +29,16 @@ from .icp import estimate_normals, icp_point_to_plane, icp_point_to_point
 def evaluate(cfg: Config, state: TrainState, *, split: str = 'test',
              icp: Optional[str] = None, icp_threshold: float = 1.0,
              icp_iters: int = 30, results_path: Optional[str] = None,
-             dataset=None, mesh=None) -> Dict:
+             dataset=None, mesh=None,
+             recall_rot_deg: float = 1.0, recall_trans_m: float = 0.1) -> Dict:
     """Run the model over a split; returns the combined results dict.
 
     `icp` in {None, 'point_to_point', 'point_to_plane'} appends the
     refined pose as an extra evaluator layer (test_v4 semantics).
+    `recall_*`: success thresholds for the recall metric (the reference
+    declares but never enables recall, `calibeval.py:108-114`; 1 deg /
+    0.1 m are this framework's defaults — tight enough that only
+    converged registrations count).
     """
     ds = dataset if dataset is not None else load_dataset(cfg.data, split)
     import math
@@ -43,7 +48,9 @@ def evaluate(cfg: Config, state: TrainState, *, split: str = 'test',
     objective = RegistrationObjective(cfg)
 
     num_layers = 3 + (1 if icp else 0)
-    evaluator = MultiLayerCalibEval(num_layers=num_layers)
+    evaluator = MultiLayerCalibEval(num_layers=num_layers,
+                                    translation_threshold=recall_trans_m,
+                                    rotation_threshold=recall_rot_deg)
 
     @jax.jit
     def forward(params, batch_stats, batch):

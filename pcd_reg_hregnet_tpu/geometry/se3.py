@@ -15,7 +15,7 @@ def _left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     """V(w) = I + sinc2(t) W + sinc3(t) W^2 so that trans = V v."""
     t = so3.safe_norm(w)
     W = so3.hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision='highest')
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     s2 = so3.sinc2(t)[..., None, None]
     s3 = so3.sinc3(t)[..., None, None]
@@ -26,7 +26,7 @@ def _left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     """V(w)^{-1} in closed form: I - W/2 + (1 - sinc1/(2 sinc2))/t^2 W^2."""
     t = so3.safe_norm(w)
     W = so3.hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision='highest')
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     s1 = so3.sinc1(t)
     s2 = so3.sinc2(t)
@@ -43,7 +43,7 @@ def exp(x: jnp.ndarray) -> jnp.ndarray:
     w, v = x[..., :3], x[..., 3:]
     R = so3.exp(w)
     V = _left_jacobian(w)
-    t = jnp.einsum('...ij,...j->...i', V, v)
+    t = jnp.einsum('...ij,...j->...i', V, v, precision='highest')
     return pack(R, t)
 
 
@@ -52,7 +52,7 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
     R, t = unpack(T)
     w = so3.log(R)
     Vinv = _left_jacobian_inv(w)
-    v = jnp.einsum('...ij,...j->...i', Vinv, t)
+    v = jnp.einsum('...ij,...j->...i', Vinv, t, precision='highest')
     return jnp.concatenate([w, v], axis=-1)
 
 
@@ -73,24 +73,36 @@ def unpack(T: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 def transform(T: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     """Apply [..., 4, 4] to points [..., N, 3] -> [..., N, 3]."""
     R, t = unpack(T)
-    return jnp.einsum('...ij,...nj->...ni', R, points) + t[..., None, :]
+    return jnp.einsum('...ij,...nj->...ni', R, points,
+                      precision='highest') + t[..., None, :]
 
 
 def apply(R: jnp.ndarray, t: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
-    """Apply (R, t) to points [..., N, 3]."""
-    return jnp.einsum('...ij,...nj->...ni', R, points) + t[..., None, :]
+    """Apply (R, t) to points [..., N, 3].
+
+    precision='highest': TPU default matmul precision quantises inputs to
+    bf16 (~2^-9 relative) — ~10 cm of phantom position noise at 60 m
+    range, an accuracy ceiling for the 0.06 m translation target.  The
+    matmul is 9N MACs; full f32 is free.
+    """
+    return jnp.einsum('...ij,...nj->...ni', R, points,
+                      precision='highest') + t[..., None, :]
 
 
 def inverse(T: jnp.ndarray) -> jnp.ndarray:
     R, t = unpack(T)
     Rinv = jnp.swapaxes(R, -1, -2)
-    tinv = -jnp.einsum('...ij,...j->...i', Rinv, t)
+    tinv = -jnp.einsum('...ij,...j->...i', Rinv, t, precision='highest')
     return pack(Rinv, tinv)
 
 
 def compose(Ta: jnp.ndarray, Tb: jnp.ndarray) -> jnp.ndarray:
-    """Ta @ Tb (apply Tb first, then Ta)."""
-    return Ta @ Tb
+    """Ta @ Tb (apply Tb first, then Ta).
+
+    Full-f32 product: composed poses feed both the next pyramid level and
+    the metrics; bf16-quantised composition injects ~0.1 deg / cm-scale
+    phantom error (see `apply`)."""
+    return jnp.matmul(Ta, Tb, precision='highest')
 
 
 def adjoint(T: jnp.ndarray) -> jnp.ndarray:

@@ -80,7 +80,7 @@ def exp(w: jnp.ndarray) -> jnp.ndarray:
     """
     t = safe_norm(w)
     W = hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision='highest')
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     s1 = sinc1(t)[..., None, None]
     s2 = sinc2(t)[..., None, None]
@@ -103,7 +103,7 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
 
 def transform(R: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     """Apply rotation(s) to points: [..., 3, 3] x [..., N, 3] -> [..., N, 3]."""
-    return jnp.einsum('...ij,...nj->...ni', R, points)
+    return jnp.einsum('...ij,...nj->...ni', R, points, precision='highest')
 
 
 def inverse(R: jnp.ndarray) -> jnp.ndarray:
@@ -112,7 +112,7 @@ def inverse(R: jnp.ndarray) -> jnp.ndarray:
 
 def geodesic_distance(R1: jnp.ndarray, R2: jnp.ndarray) -> jnp.ndarray:
     """Angle of R1^T R2 in radians, per batch element."""
-    M = jnp.swapaxes(R1, -1, -2) @ R2
+    M = jnp.matmul(jnp.swapaxes(R1, -1, -2), R2, precision='highest')
     trace = M[..., 0, 0] + M[..., 1, 1] + M[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
     return jnp.arccos(cos_t)

@@ -81,7 +81,11 @@ def transformation_loss(pred_R, pred_t, gt_R, gt_t, alpha: float = 1.0):
     geodesic RRE [deg], per-axis translation error [m], euclidean RTE [m].
     """
     eye = jnp.broadcast_to(jnp.eye(3, dtype=pred_R.dtype), pred_R.shape)
-    R_rel = jnp.swapaxes(pred_R, -1, -2) @ gt_R
+    # full-f32 matmul: TPU default precision feeds the MXU bf16-quantised
+    # inputs (~0.4% per entry), which near identity shows up directly as
+    # phantom rotation error in the loss/metrics (see rotation_errors)
+    R_rel = jnp.matmul(jnp.swapaxes(pred_R, -1, -2), gt_R,
+                       precision='highest')
     resi_R = jnp.linalg.norm((R_rel - eye).reshape(pred_R.shape[0], -1), axis=-1)
 
     R_err_deg, geodesic = rotation_errors(pred_R, gt_R)
@@ -99,7 +103,12 @@ def rotation_errors(pred_R, gt_R):
 
     Reference `calc_rot_rre_err` (losses.py:138-153).
     """
-    R_rel = jnp.swapaxes(pred_R, -1, -2) @ gt_R
+    # precision='highest': with TPU default matmul precision the bf16
+    # input quantisation (~2^-8 relative) puts a ~0.1-0.2 deg noise floor
+    # under the atan2 geodesic — 'highest' runs the 3x3 product in full
+    # f32 (3-pass), leaving only f32 rounding (~0.001 deg)
+    R_rel = jnp.matmul(jnp.swapaxes(pred_R, -1, -2), gt_R,
+                       precision='highest')
     eul = rotations.matrix_to_euler_xyz(R_rel)
     R_err_deg = jnp.mean(jnp.abs(jnp.rad2deg(eul)), axis=0)  # [3]
     trace = R_rel[..., 0, 0] + R_rel[..., 1, 1] + R_rel[..., 2, 2]

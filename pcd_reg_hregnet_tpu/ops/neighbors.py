@@ -167,26 +167,54 @@ def set_gather_impl(impl: str) -> None:
     jax.clear_caches()
 
 
+def _bf16_parts(x: jnp.ndarray) -> list[jnp.ndarray]:
+    """Split f32 into 3 exactly-bf16-representable f32 parts (8+8+8 of the
+    24 mantissa bits): x == sum(parts) exactly, and a DEFAULT-precision MXU
+    matmul of each part against a 0/1 indicator is exact (1.0 x bf16 value
+    accumulates in f32 with one nonzero term per row).
+
+    Why: TPU default matmul precision rounds operands to bf16 — measured
+    0.125 m absolute error on gathered 60 m-scale coordinates
+    (results/precision_probe.json), which poisoned keypoint geometry
+    everywhere.  3 one-hot matmuls on the split parts give bit-exact f32
+    gathers at MXU speed (the [rows, N] indicator generation, the actual
+    cost driver, is shared)."""
+    if x.dtype != jnp.float32:
+        return [x]
+    h1 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = x - h1
+    h2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    return [h1, h2, r1 - h2]
+
+
 def _gather_rows(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row gather [B, N, C] x [B, R] -> [B, R, C] (int32 idx)."""
+    """Row gather [B, N, C] x [B, R] -> [B, R, C] (int32 idx), bit-exact."""
     B, N, C = data.shape
     impl = _gather_impl()
     if impl == 'taa' or (impl == 'auto' and jax.default_backend() == 'cpu'):
         return jnp.take_along_axis(data, idx[..., None], axis=1)
     if impl == 'onehot' or (impl != 'blocked' and N < _BLOCKED_GATHER_MIN_N):
         onehot = jax.nn.one_hot(idx, N, dtype=data.dtype)     # [B,R,N]
-        return jnp.einsum('brn,bnc->brc', onehot, data)
+        return sum(jnp.einsum('brn,bnc->brc', onehot, part)
+                   for part in _bf16_parts(data))
     S = _GATHER_BLOCK
     pad = (-N) % S
     if pad:
         data = jnp.pad(data, ((0, 0), (0, pad), (0, 0)))
     nb = (N + pad) // S
-    blocks = data.reshape(B, nb, S * C)
     oh_hi = jax.nn.one_hot(idx // S, nb, dtype=data.dtype)    # [B,R,nb]
-    g1 = jnp.einsum('brn,bnd->brd', oh_hi, blocks)            # [B,R,S*C]
-    g1 = g1.reshape(B, idx.shape[1], S, C)
     oh_lo = jax.nn.one_hot(idx % S, S, dtype=data.dtype)      # [B,R,S]
-    return jnp.einsum('brs,brsc->brc', oh_lo, g1)
+    out = None
+    for part in _bf16_parts(data):
+        blocks = part.reshape(B, nb, S * C)
+        g1 = jnp.einsum('brn,bnd->brd', oh_hi, blocks)        # [B,R,S*C]
+        g1 = g1.reshape(B, idx.shape[1], S, C)
+        # stage 2 selects from g1 (already exact bf16-part values): the
+        # bf16 rounding of g1's entries is the identity, so default
+        # precision stays exact here too
+        g2 = jnp.einsum('brs,brsc->brc', oh_lo, g1)
+        out = g2 if out is None else out + g2
+    return out
 
 
 def knn_gather(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
