@@ -187,7 +187,8 @@ class CoarseReg(nn.Module):
         # one fused gather of [xyz | desc | weight]: indicator generation
         # dominates gather cost, so pay it once (see ops.neighbors._gather_rows)
         g = knn_gather(jnp.concatenate(
-            [dst_xyz, dst_desc, dst_weights[..., None]], axis=-1), knn_idx)
+            [dst_xyz, dst_desc, dst_weights[..., None]], axis=-1), knn_idx,
+            exact_channels=3)
         src_knn_xyz = g[..., :3]                          # [B,N,k,3]
         src_knn_desc = g[..., 3:3 + C]                    # [B,N,k,C]
         src_knn_w = g[..., 3 + C:]                        # [B,N,k,1]
@@ -217,7 +218,8 @@ class CoarseReg(nn.Module):
 
             def nbr_desc(xyz, desc):
                 _, nbr_idx = knn(xyz, xyz, k)
-                ng = knn_gather(jnp.concatenate([xyz, desc], -1), nbr_idx)
+                ng = knn_gather(jnp.concatenate([xyz, desc], -1), nbr_idx,
+                                exact_channels=3)
                 nbr_xyz, nbr_feats = ng[..., :3], ng[..., 3:]
                 rela = nbr_xyz - xyz[:, :, None, :]
                 dist = _safe_dist(rela)
@@ -281,7 +283,8 @@ class FineReg(nn.Module):
         k = self.k
         _, knn_idx = knn(src_xyz, dst_xyz, k)
         g = knn_gather(jnp.concatenate(
-            [dst_xyz, dst_feat, dst_weights[..., None]], axis=-1), knn_idx)
+            [dst_xyz, dst_feat, dst_weights[..., None]], axis=-1), knn_idx,
+            exact_channels=3)
         src_knn_xyz, src_knn_feat, src_knn_w = g[..., :3], g[..., 3:3 + C], g[..., 3 + C:]
         src_xyz_expand = jnp.broadcast_to(src_xyz[:, :, None, :], (B, N, k, 3))
         src_feat_expand = jnp.broadcast_to(src_feat[:, :, None, :], (B, N, k, C))

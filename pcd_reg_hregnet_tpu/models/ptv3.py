@@ -75,7 +75,7 @@ class KnnCPE(nn.Module):
     def __call__(self, x, nbr_idx, rel):
         # x: [B, N, C]; nbr_idx: [B, N, k]; rel: [B, N, k, 4] (rel_xyz, dist)
         from ..ops.neighbors import knn_gather
-        h = knn_gather(x, nbr_idx)                              # [B,N,k,C]
+        h = knn_gather(x, nbr_idx, exact_channels=0)            # [B,N,k,C]
         w = nn.Dense(self.hidden, dtype=self.dtype)(rel)
         w = nn.gelu(w)
         w = nn.Dense(self.channels, dtype=self.dtype)(w)        # [B,N,k,C]

@@ -187,45 +187,74 @@ def _bf16_parts(x: jnp.ndarray) -> list[jnp.ndarray]:
     return [h1, h2, r1 - h2]
 
 
-def _gather_rows(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row gather [B, N, C] x [B, R] -> [B, R, C] (int32 idx), bit-exact."""
+def _gather_rows(data: jnp.ndarray, idx: jnp.ndarray,
+                 exact_channels: int | None = None) -> jnp.ndarray:
+    """Row gather [B, N, C] x [B, R] -> [B, R, C] (int32 idx).
+
+    `exact_channels`: how many LEADING channels must be bit-exact f32
+    (None = all).  Geometry channels (xyz) must be exact — bf16-rounded
+    coordinates put ~0.12 m of noise into every keypoint
+    (results/precision_probe.json) — while learned feature channels
+    tolerate bf16-level (~0.4% relative) noise, far below BN/training
+    noise.  The exact part costs 3 matmul passes (`_bf16_parts`), the
+    rest one; the [rows, N] indicator (the real cost driver) is shared.
+    """
     B, N, C = data.shape
     impl = _gather_impl()
     if impl == 'taa' or (impl == 'auto' and jax.default_backend() == 'cpu'):
         return jnp.take_along_axis(data, idx[..., None], axis=1)
+    ex = C if exact_channels is None else min(exact_channels, C)
+
+    def one_hot_gather(onehot, part):
+        return jnp.einsum('brn,bnc->brc', onehot, part)
+
     if impl == 'onehot' or (impl != 'blocked' and N < _BLOCKED_GATHER_MIN_N):
         onehot = jax.nn.one_hot(idx, N, dtype=data.dtype)     # [B,R,N]
-        return sum(jnp.einsum('brn,bnc->brc', onehot, part)
-                   for part in _bf16_parts(data))
+        pieces = []
+        if ex:
+            pieces.append(sum(one_hot_gather(onehot, p)
+                              for p in _bf16_parts(data[..., :ex])))
+        if ex < C:
+            pieces.append(one_hot_gather(onehot, data[..., ex:]))
+        return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, -1)
+
     S = _GATHER_BLOCK
     pad = (-N) % S
     if pad:
         data = jnp.pad(data, ((0, 0), (0, pad), (0, 0)))
     nb = (N + pad) // S
+    R = idx.shape[1]
     oh_hi = jax.nn.one_hot(idx // S, nb, dtype=data.dtype)    # [B,R,nb]
     oh_lo = jax.nn.one_hot(idx % S, S, dtype=data.dtype)      # [B,R,S]
-    out = None
-    for part in _bf16_parts(data):
-        blocks = part.reshape(B, nb, S * C)
-        g1 = jnp.einsum('brn,bnd->brd', oh_hi, blocks)        # [B,R,S*C]
-        g1 = g1.reshape(B, idx.shape[1], S, C)
-        # stage 2 selects from g1 (already exact bf16-part values): the
-        # bf16 rounding of g1's entries is the identity, so default
-        # precision stays exact here too
-        g2 = jnp.einsum('brs,brsc->brc', oh_lo, g1)
-        out = g2 if out is None else out + g2
-    return out
+
+    def blocked(part):
+        c = part.shape[-1]
+        blocks = part.reshape(B, nb, S * c)
+        g1 = jnp.einsum('brn,bnd->brd', oh_hi, blocks)        # [B,R,S*c]
+        g1 = g1.reshape(B, R, S, c)
+        # stage 2 selects from g1; for _bf16_parts inputs the entries are
+        # exactly bf16-representable, so default precision stays exact
+        return jnp.einsum('brs,brsc->brc', oh_lo, g1)
+
+    pieces = []
+    if ex:
+        pieces.append(sum(blocked(p) for p in _bf16_parts(data[..., :ex])))
+    if ex < C:
+        pieces.append(blocked(data[..., ex:]))
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, -1)
 
 
-def knn_gather(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def knn_gather(data: jnp.ndarray, idx: jnp.ndarray,
+               exact_channels: int | None = None) -> jnp.ndarray:
     """Gather neighbour features: [B, N, C] x [B, M, k] -> [B, M, k, C].
 
     On accelerator backends this is a (blocked) one-hot einsum riding the
-    MXU (exact: the indicator is 1.0f and every other term is +0.0f); the
-    CPU backend keeps the `take_along_axis` lowering.  See `_gather_rows`.
+    MXU; the CPU backend keeps the `take_along_axis` lowering.
+    `exact_channels` marks how many leading channels are geometry and
+    must be bit-exact f32 (None = all); see `_gather_rows`.
     """
     B, M, k = idx.shape
-    out = _gather_rows(data, idx.reshape(B, M * k))
+    out = _gather_rows(data, idx.reshape(B, M * k), exact_channels)
     return out.reshape(B, M, k, data.shape[-1])
 
 
@@ -285,7 +314,7 @@ def three_nn_interpolate(query: jnp.ndarray, database: jnp.ndarray,
     d2, idx = knn(query, database, 3, approx=False)
     w = 1.0 / (d2 + 1e-8)                                  # [B,M,3]
     w = w / jnp.sum(w, axis=-1, keepdims=True)
-    neigh = knn_gather(features, idx)                      # [B,M,3,C]
+    neigh = knn_gather(features, idx, exact_channels=0)    # [B,M,3,C]
     return jnp.einsum('bmk,bmkc->bmc', w, neigh)
 
 
@@ -307,9 +336,10 @@ def knn_group(xyz1: jnp.ndarray, xyz2: jnp.ndarray, features2, k: int,
     """
     _, idx = knn(xyz1, xyz2, k, approx=approx)
     # single fused gather of [xyz | features]: one indicator pass instead of
-    # two (the indicator generation dominates gather cost — see _gather_rows)
+    # two (the indicator generation dominates gather cost — see _gather_rows);
+    # xyz channels bit-exact, feature channels at single-pass MXU precision
     db = xyz2 if features2 is None else jnp.concatenate([xyz2, features2], axis=-1)
-    g = knn_gather(db, idx)                             # [B,M,k,3+C]
+    g = knn_gather(db, idx, exact_channels=3)           # [B,M,k,3+C]
     knn_xyz = g[..., :3]
     rela_xyz = knn_xyz - xyz1[:, :, None, :]            # [B,M,k,3]
     # sqrt with epsilon: query points may be exact database points (FPS

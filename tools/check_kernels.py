@@ -76,12 +76,17 @@ def main() -> int:
         q, k_, v = (jax.random.normal(jax.random.fold_in(key, 10 + i),
                                       (R, H, K, d)) for i in range(3))
         scale = d ** -0.5
+        # full-f32 reference; the kernel (like flash-attn) computes at
+        # native MXU operand precision (~bf16, 2^-9 relative), so the
+        # tolerance is bf16-scale on O(1) attention outputs
         dense = jax.nn.softmax(
-            jnp.einsum('rhkd,rhmd->rhkm', q * scale, k_), axis=-1)
-        want = np.asarray(jnp.einsum('rhkm,rhmd->rhkd', dense, v))
+            jnp.einsum('rhkd,rhmd->rhkm', q * scale, k_,
+                       precision='highest'), axis=-1)
+        want = np.asarray(jnp.einsum('rhkm,rhmd->rhkd', dense, v,
+                                     precision='highest'))
         got = np.asarray(patch_attention(q, k_, v, scale))
         err = float(np.abs(got - want).max())
-        check(f'pallas_attention_K{K}', err < 5e-5, f'max_err={err:.2e}')
+        check(f'pallas_attention_K{K}', err < 2e-2, f'max_err={err:.2e}')
 
     # --- approx kNN recall vs exact ----------------------------------------
     q = jax.random.uniform(jax.random.fold_in(key, 20), (2, 1024, 3)) * 40

@@ -34,18 +34,27 @@ ITERS = 10
 
 
 def timeit(fn, *args, iters=ITERS):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # np.asarray forces a VALUE transfer through the tunnel — the only
+    # reliable sync on axon (block_until_ready returns before the remote
+    # value lands; measured 0.04 ms for a 268 MB-matrix op = dispatch only)
+    np.asarray(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(out)
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
 def scalarize(f):
-    return jax.jit(lambda *a: sum(jnp.sum(l) for l in
-                                  jax.tree_util.tree_leaves(f(*a))))
+    # sum of SQUARES: a plain linear sum of a matmul/gather output lets
+    # XLA's algebraic simplifier collapse sum(onehot @ data) into
+    # (sum onehot) @ data — the op being measured disappears.  x*x blocks
+    # the rewrite.
+    def g(*a):
+        leaves = jax.tree_util.tree_leaves(f(*a))
+        return sum(jnp.sum(l.astype(jnp.float32) * l.astype(jnp.float32))
+                   for l in leaves)
+    return jax.jit(g)
 
 
 def main() -> int:
@@ -122,11 +131,11 @@ def main() -> int:
         step = make_train_step(obj, tx, mesh)
         sb = shard_batch(batch, mesh)
         state, m = step(state, sb)          # compile
-        jax.block_until_ready(m['loss'])
+        np.asarray(m['loss'])
         t0 = time.perf_counter()
         for _ in range(ITERS):
             state, m = step(state, sb)
-        jax.block_until_ready(m['loss'])
+        np.asarray(m['loss'])
         rec(f'train step ({dtype})',
             (time.perf_counter() - t0) / ITERS * 1e3)
 
