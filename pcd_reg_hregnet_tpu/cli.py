@@ -34,33 +34,59 @@ def _common(p: argparse.ArgumentParser) -> None:
                    help='log per-module grad/param norms every epoch '
                         '(wandb.watch equivalent)')
     p.add_argument('--compute-dtype', default=None,
-                   choices=[None, 'float32', 'bfloat16'],
+                   choices=['float32', 'bfloat16'],
                    help='activation dtype of the compute path (bfloat16 '
                         'doubles MXU throughput on TPU)')
     p.add_argument('--debug-scale', action='store_true',
                    help='shrink the keypoint pyramid (64/32/16 samples) and '
                         'PTv3 stack for CPU smoke runs / CI')
-    p.add_argument('--ptv3-cpe', default=None, choices=[None, 'knn', 'curve', 'none'],
+    p.add_argument('--ptv3-cpe', default=None, choices=['knn', 'curve', 'none'],
                    help='PTv3 positional-encoding operator (ablations)')
     p.add_argument('--ptv3-grid-size', type=float, default=None,
                    help='PTv3 serialization voxel size (ablations)')
 
 
-def _build_config(args):
+def _ckpt_model_config(ckpt_path):
+    """Model config recorded in a checkpoint's meta.json, or None.
+
+    Architecture flags are part of the parameter tree (e.g. a curve-CPE
+    checkpoint will not restore under a knn-CPE config), so eval / infer /
+    resume default the MODEL config from the checkpoint itself and let CLI
+    flags override — instead of requiring the caller to reproduce every
+    architecture flag of the original run (ADVICE r3 medium).
+    """
+    import json
+    import os
+    if not ckpt_path:
+        return None
+    meta = os.path.join(ckpt_path, 'meta.json')
+    if not os.path.exists(meta):
+        return None
+    with open(meta) as f:
+        d = json.load(f)
+    if 'config' not in d:
+        return None
+    from .core.config import Config
+    return Config.from_json(d['config']).model
+
+
+def _build_config(args, model_base=None):
     from .train.experiments import experiment
     cfg = experiment(args.experiment)
+    if model_base is not None:
+        cfg = dataclasses.replace(cfg, model=model_base)
     data_over, train_over = {}, {}
-    if args.dataset:
+    if args.dataset is not None:
         data_over['dataset'] = args.dataset
-    if args.data_path:
+    if args.data_path is not None:
         data_over['path'] = args.data_path
-    if args.batch_size:
+    if args.batch_size is not None:
         data_over['batch_size'] = args.batch_size
-    if args.npoints:
+    if args.npoints is not None:
         data_over['pcd_min_samples'] = args.npoints
-    if args.epochs:
+    if args.epochs is not None:
         train_over['epochs'] = args.epochs
-    if args.lr:
+    if args.lr is not None:
         train_over['lr'] = args.lr
     if args.seed is not None:
         train_over['seed'] = args.seed
@@ -72,14 +98,14 @@ def _build_config(args):
         cfg,
         data=dataclasses.replace(cfg.data, **data_over),
         train=dataclasses.replace(cfg.train, **train_over))
-    if getattr(args, 'compute_dtype', None):
+    if getattr(args, 'compute_dtype', None) is not None:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            compute_dtype=args.compute_dtype))
-    if getattr(args, 'ptv3_cpe', None):
+    if getattr(args, 'ptv3_cpe', None) is not None:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, ptv3_cpe=args.ptv3_cpe))
-    if getattr(args, 'ptv3_grid_size', None):
+    if getattr(args, 'ptv3_grid_size', None) is not None:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            ptv3_grid_size=args.ptv3_grid_size))
@@ -114,7 +140,7 @@ def main(argv=None) -> int:
     p_eval.add_argument('--ckpt', default=None,
                         help='required unless --icp-only')
     p_eval.add_argument('--icp', default=None,
-                        choices=[None, 'point_to_point', 'point_to_plane'])
+                        choices=['point_to_point', 'point_to_plane'])
     p_eval.add_argument('--icp-only', action='store_true',
                         help='classical ICP from identity, no network '
                              '(reference README ICP-only rows)')
@@ -137,7 +163,7 @@ def main(argv=None) -> int:
                        help='source cloud (.pcd.bin/.bin, .npy, or .npz)')
     p_inf.add_argument('--dst', required=True, help='target cloud')
     p_inf.add_argument('--icp', default=None,
-                       choices=[None, 'point_to_point', 'point_to_plane'])
+                       choices=['point_to_point', 'point_to_plane'])
     p_inf.add_argument('--out', default=None, help='write the pose JSON here')
 
     p_bench = sub.add_parser('bench', help='single-chip throughput benchmark')
@@ -156,8 +182,15 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     if args.cmd == 'train':
+        import os
         from .train import fit
-        cfg = _build_config(args)
+        from .train.loop import latest_checkpoint
+        # a resumed run's model architecture comes from its checkpoint, so
+        # '--resume auto' relaunches keep working even when defaults moved
+        resume_path = args.resume
+        if resume_path == 'auto':
+            resume_path = latest_checkpoint(os.path.join(args.log_dir, 'ckpt'))
+        cfg = _build_config(args, model_base=_ckpt_model_config(resume_path))
         _, val = fit(cfg, log_dir=args.log_dir, max_steps=args.max_steps,
                      pretrain_feats=args.pretrain_feats, resume=args.resume)
         print({k: round(v, 4) for k, v in val.items()})
@@ -169,7 +202,7 @@ def main(argv=None) -> int:
         from .eval.runner import evaluate, evaluate_icp_only
         from .train.loop import create_state, restore_checkpoint
         from .train.objective import RegistrationObjective
-        cfg = _build_config(args)
+        cfg = _build_config(args, model_base=_ckpt_model_config(args.ckpt))
         ds = load_dataset(cfg.data, 'test')
         if args.icp_only:
             out = evaluate_icp_only(
@@ -209,7 +242,7 @@ def main(argv=None) -> int:
             from .data.truckscenes import load_lidar_bin
             return load_lidar_bin(path)[0]
 
-        cfg = _build_config(args)
+        cfg = _build_config(args, model_base=_ckpt_model_config(args.ckpt))
         src, dst = load_cloud(args.src), load_cloud(args.dst)
         n = cfg.data.pcd_min_samples
         sample = {'uncalibed_pcd': np.zeros((1, n, 3), np.float32),

@@ -142,15 +142,27 @@ class PairDataset:
         self.seed = seed
         self.epoch = 0  # bump via set_epoch() for fresh train twists per epoch
         self._igts = None  # per-epoch (train) / fixed (eval) [len, 4, 4]
-        if split == 'train':
-            self.table = None
-        else:
-            path = perturb_path or (os.path.join(cfg.path, f'perturbations_file_{split}.txt')
-                                    if cfg.path else '')
-            self.table = perturbation_table(path, len(source), cfg,
-                                            seed={'val': 1, 'test': 2}.get(split, 3))
-            self._igts = np.asarray(
-                jax.jit(jax.vmap(se3.exp))(jnp.asarray(self.table)), np.float32)
+        self._table = None
+        # Eval tables are built LAZILY (first item access), never in
+        # __init__: perturbation_table + se3.exp touch JAX, and dataset
+        # construction must not initialise the XLA backend before
+        # `parallel.distributed.initialize()` runs on a multi-process pod
+        # (ADVICE r3 high: eager _igts here silently degraded every
+        # multi-host fit() into N duplicate single-process jobs).
+        self._perturb_path = perturb_path or (
+            os.path.join(cfg.path, f'perturbations_file_{split}.txt')
+            if cfg.path else '')
+
+    @property
+    def table(self) -> Optional[np.ndarray]:
+        """Deterministic eval twist table [len, 6] (None for the train split)."""
+        if self.split == 'train':
+            return None
+        if self._table is None:
+            self._table = perturbation_table(
+                self._perturb_path, len(self.source), self.cfg,
+                seed={'val': 1, 'test': 2}.get(self.split, 3))
+        return self._table
 
     def set_epoch(self, epoch: int) -> None:
         """Fresh random train decalibrations each epoch (the reference draws a
@@ -209,8 +221,13 @@ class PairDataset:
                                         if inten is not None else
                                         np.zeros(len(pts), np.float32))
 
-        if self._igts is None:      # lazy: first access before set_epoch
-            self._igts = self._epoch_igts(self.epoch)
+        if self._igts is None:      # lazy: first access (train or eval)
+            if self.split == 'train':
+                self._igts = self._epoch_igts(self.epoch)
+            else:
+                self._igts = np.asarray(
+                    jax.jit(jax.vmap(se3.exp))(jnp.asarray(self.table)),
+                    np.float32)
         igt = self._igts[index]
         pts = out['pcd_right'] @ igt[:3, :3].T + igt[:3, 3]   # host numpy
         out['uncalibed_pcd'] = pts.astype(np.float32)

@@ -79,6 +79,23 @@ def initialize(coordinator: Optional[str] = None,
                 if ('already initialized' not in msg
                         and 'must be called before' not in msg):
                     raise
+                if 'must be called before' in msg \
+                        and jax.process_count() == 1:
+                    # The backend came up before us (some earlier JAX call
+                    # during program setup) on what looks like a pod —
+                    # this process will now run SINGLE-process.  Loud, so
+                    # an accidental N-duplicate-jobs launch is visible in
+                    # every worker's log (ADVICE r3 high).
+                    import sys
+                    print('[distributed] WARNING: pod environment detected '
+                          '(TPU_WORKER_HOSTNAMES/MEGASCALE set) but the XLA '
+                          'backend was initialised before '
+                          'jax.distributed.initialize() could run — '
+                          'falling back to SINGLE-process mode. If this is '
+                          'a multi-host launch, every worker is now a '
+                          'duplicate job. Ensure distributed.initialize() '
+                          'runs before any JAX computation.',
+                          file=sys.stderr, flush=True)
                 _initialized = True
                 return jax.process_count() > 1
             _initialized = True

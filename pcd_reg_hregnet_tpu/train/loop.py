@@ -165,16 +165,22 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
     restores a full checkpoint including optimizer state (absent in the
     reference — SURVEY.md §5.3).
     """
+    # Multi-host entry (no reference counterpart — SURVEY.md §2.4): under a
+    # multi-process launcher this initialises the distributed runtime and
+    # trains over a hybrid ICI x DCN mesh; single-process runs fall through
+    # to the 1-D local mesh unchanged.  MUST run before any dataset / JAX
+    # work: jax.distributed.initialize() fails once the XLA backend is
+    # live, so constructing datasets (whose perturbation tables touch JAX)
+    # first would silently degrade a pod launch into N duplicate
+    # single-process jobs (ADVICE r3 high).
+    from ..parallel import distributed
+    is_multiprocess = distributed.initialize()
+
     train_ds = datasets[0] if datasets else load_dataset(cfg.data, 'train')
     val_ds = datasets[1] if datasets else load_dataset(cfg.data, 'val')
 
     bs = cfg.data.batch_size
-    # Multi-host entry (no reference counterpart — SURVEY.md §2.4): under a
-    # multi-process launcher this initialises the distributed runtime and
-    # trains over a hybrid ICI x DCN mesh; single-process runs fall through
-    # to the 1-D local mesh unchanged.
-    from ..parallel import distributed
-    if distributed.initialize():
+    if is_multiprocess:
         mesh = distributed.make_hybrid_mesh()
         if bs % mesh.size:
             raise ValueError(f'global batch {bs} must divide the '
@@ -223,7 +229,10 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
     eval_step = make_eval_step(objective, mesh)
 
     val_metrics: Dict[str, float] = {}
-    total_steps = 0
+    # count from the RESTORED step so a resumed run respects max_steps
+    # (0-init let a resume whose budget was already exhausted train up to
+    # max_steps additional batches — ADVICE r3 low)
+    total_steps = int(np.asarray(state.step))
 
     # Preemption recovery: a restored optimizer step tells us how many
     # epochs are already done, so a relaunch with identical args continues
@@ -242,9 +251,11 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         # enforce max_steps mid-epoch too: smoke runs cap total optimiser
-        # steps regardless of dataset size
-        cap = (None if max_steps is None
-               else max(1, max_steps - total_steps))
+        # steps regardless of dataset size; an exhausted budget (possible
+        # right after resume) ends the run instead of forcing extra steps
+        if max_steps is not None and total_steps >= max_steps:
+            break
+        cap = None if max_steps is None else max_steps - total_steps
         state, train_metrics = run_epoch(train_ds, train_step, state, mesh, bs,
                                          train=True, shuffle=True,
                                          seed=cfg.train.seed, epoch=epoch,
