@@ -126,6 +126,10 @@ class CalibEval:
             'trans_mae_m': float(t.mean()), 'trans_sd_m': float(sd_t.mean()),
             'rre_deg': float(np.mean(self.geodesic)), 'rre_sd': float(sd_dR),
             'rte_m': float(np.mean(self.eucl)), 'rte_sd': float(sd_dT),
+            # tail metrics: a heavy failure tail hides behind means
+            # (r3 flagship: rre_sd 3.6x the mean) — p95 makes it visible
+            'rre_p95': float(np.percentile(self.geodesic, 95)),
+            'rte_p95': float(np.percentile(self.eucl, 95)),
         }
 
 

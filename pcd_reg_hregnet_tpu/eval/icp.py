@@ -7,8 +7,20 @@ ICP as a jitted fixed-iteration solver — each iteration is one MXU
 distance matrix + a closed-form update, so refinement stays on-device in
 the same jit as the network instead of a host round-trip.
 
-Both variants reject correspondences beyond `threshold` via zero weights
-(branchless equivalent of Open3D's correspondence distance cut).
+Both variants reject correspondences beyond a distance threshold via zero
+weights (branchless equivalent of Open3D's correspondence distance cut).
+Two additions over the reference's fixed-threshold Open3D call, both from
+the round-3 finding that a loose fixed threshold (1.0 m at 8096 points)
+pulls in wrong correspondences and DEGRADES already-converged network
+poses (rre 0.118->0.175 deg, `results/v11_r3_eval_icp.json`):
+
+  * the threshold anneals geometrically `threshold -> threshold_end`
+    over the iterations (coarse basin capture first, tight refinement
+    last);
+  * a per-item trust test: the refined pose is accepted only where its
+    truncated nearest-neighbour residual (at the tight final threshold)
+    beats the initial pose's — ICP can then only fix tail failures, never
+    corrupt poses already better than its own optimum.
 """
 from __future__ import annotations
 
@@ -29,24 +41,62 @@ def _nn(src: jnp.ndarray, dst: jnp.ndarray):
     return jnp.min(d2, axis=-1), jnp.argmin(d2, axis=-1).astype(jnp.int32)
 
 
+def _anneal(threshold, threshold_end, i, max_iters):
+    """Geometric threshold schedule: `threshold` at i=0 -> `threshold_end`
+    at the last iteration (loose basin capture first, tight refinement
+    last)."""
+    frac = i.astype(jnp.float32) / max(1, max_iters - 1)
+    return threshold * (threshold_end / threshold) ** frac
+
+
+def truncated_residual(src: jnp.ndarray, dst: jnp.ndarray, T: jnp.ndarray,
+                       threshold: float) -> jnp.ndarray:
+    """Per-item truncated NN residual mean(min(d2, thr^2)) [B] — the
+    robust alignment score used by the ICP trust test (lower = better:
+    rewards both tight inliers and high inlier fraction)."""
+    cur = se3.transform(T, src)
+    d2, _ = _nn(cur, dst)
+    return jnp.mean(jnp.minimum(d2, threshold * threshold), axis=-1)
+
+
+TRUST_MARGIN = 0.95
+
+
+def _trust_select(src, dst, init_T, refined_T, threshold_end):
+    """Keep the refined pose only where it scores CLEARLY better than the
+    initial one (per batch item) — ICP may fix failures, never damage
+    successes.  The margin matters: on resampled clouds the truncated
+    residuals of a converged pose and a slightly-drifted ICP optimum are
+    near-ties (every neighbour distance sits at the sampling-spacing
+    floor), and a bare `<` let the drifted pose win the coin flip —
+    exactly the r3 degradation.  Ties go to the initial (network) pose."""
+    r_init = truncated_residual(src, dst, init_T, threshold_end)
+    r_ref = truncated_residual(src, dst, refined_T, threshold_end)
+    better = (r_ref < TRUST_MARGIN * r_init)[:, None, None]
+    return jnp.where(better, refined_T, init_T)
+
+
 @partial(jax.jit, static_argnames=('max_iters',))
 def icp_point_to_point(src: jnp.ndarray, dst: jnp.ndarray,
                        init_T: jnp.ndarray, threshold: float = 1.0,
-                       max_iters: int = 30) -> jnp.ndarray:
+                       max_iters: int = 30,
+                       threshold_end: float = 0.1) -> jnp.ndarray:
     """Point-to-point ICP.  src/dst [B, N, 3]; init_T [B, 4, 4] -> [B, 4, 4]."""
 
-    def step(_, T):
+    def step(i, T):
+        thr = _anneal(threshold, threshold_end, i, max_iters)
         cur = se3.transform(T, src)
         d2, idx = _nn(cur, dst)
         corres = _gather_rows(dst, idx)
-        w = (d2 < threshold * threshold).astype(src.dtype)
+        w = (d2 < thr * thr).astype(src.dtype)
         # guard: if everything is rejected fall back to uniform weights
         any_w = jnp.sum(w, axis=1, keepdims=True) > 0
         w = jnp.where(any_w, w, jnp.ones_like(w))
         R, t = weighted_kabsch(cur, corres, w)
         return se3.compose(se3.pack(R, t), T)
 
-    return jax.lax.fori_loop(0, max_iters, step, init_T)
+    refined = jax.lax.fori_loop(0, max_iters, step, init_T)
+    return _trust_select(src, dst, init_T, refined, threshold_end)
 
 
 @partial(jax.jit, static_argnames=('k',))
@@ -69,20 +119,22 @@ def estimate_normals(points: jnp.ndarray, k: int = 16) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=('max_iters',))
 def icp_point_to_plane(src: jnp.ndarray, dst: jnp.ndarray,
                        dst_normals: jnp.ndarray, init_T: jnp.ndarray,
-                       threshold: float = 1.0, max_iters: int = 30) -> jnp.ndarray:
+                       threshold: float = 1.0, max_iters: int = 30,
+                       threshold_end: float = 0.1) -> jnp.ndarray:
     """Point-to-plane ICP via the small-angle linearised normal equations.
 
     Each step solves  min_x sum_i w_i ((J_i x) + r_i)^2  with
     J_i = [p_i x n_i, n_i] (x = [w, v] twist) in closed form (6x6 solve).
     """
 
-    def step(_, T):
+    def step(i, T):
+        thr = _anneal(threshold, threshold_end, i, max_iters)
         cur = se3.transform(T, src)
         d2, idx = _nn(cur, dst)
         # fused single gather of [dst | normals] (one indicator pass)
         qn_ = _gather_rows(jnp.concatenate([dst, dst_normals], -1), idx)
         q, n = qn_[..., :3], qn_[..., 3:]
-        w = (d2 < threshold * threshold).astype(src.dtype)
+        w = (d2 < thr * thr).astype(src.dtype)
         any_w = jnp.sum(w, axis=1, keepdims=True) > 0
         w = jnp.where(any_w, w, jnp.ones_like(w))
 
@@ -99,16 +151,19 @@ def icp_point_to_plane(src: jnp.ndarray, dst: jnp.ndarray,
         x = jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x))
         return se3.compose(se3.exp(x), T)
 
-    return jax.lax.fori_loop(0, max_iters, step, init_T)
+    refined = jax.lax.fori_loop(0, max_iters, step, init_T)
+    return _trust_select(src, dst, init_T, refined, threshold_end)
 
 
 def refine(src: jnp.ndarray, dst: jnp.ndarray, init_T: jnp.ndarray,
            method: str = 'point_to_point', threshold: float = 1.0,
-           max_iters: int = 30) -> jnp.ndarray:
+           max_iters: int = 30, threshold_end: float = 0.1) -> jnp.ndarray:
     """ICP refinement dispatch (the reference's test_v4 'layer 4')."""
     if method == 'point_to_point':
-        return icp_point_to_point(src, dst, init_T, threshold, max_iters)
+        return icp_point_to_point(src, dst, init_T, threshold, max_iters,
+                                  threshold_end)
     if method == 'point_to_plane':
         normals = estimate_normals(dst)
-        return icp_point_to_plane(src, dst, normals, init_T, threshold, max_iters)
+        return icp_point_to_plane(src, dst, normals, init_T, threshold,
+                                  max_iters, threshold_end)
     raise ValueError(f'unknown ICP method {method!r}')
