@@ -59,9 +59,13 @@ def fit_feats(cfg: Config, *, stage: str = 'detector',
                                     seed=cfg.train.seed, epoch=epoch):
             state, m = step(state, shard_batch(batch, mesh))
             count += 1
+            # accumulate ON DEVICE; one readback per metric at epoch end
+            # (per-step np.asarray is a synchronous tunnel round-trip —
+            # the same stall run_epoch() had before r3)
             for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + np.asarray(v)
-        metrics = {k: float(np.mean(v) / count) for k, v in sums.items()}
+                sums[k] = v if k not in sums else sums[k] + v
+        metrics = {k: float(np.mean(np.asarray(v)) / count)
+                   for k, v in sums.items()}
         logger.log_epoch(epoch, metrics, {}, seconds=time.time() - t0)
         total += count
         save_checkpoint(os.path.join(log_dir, cfg.train.ckpt_dir),

@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-4 stage E: feats pretrain -> warm vs cold registration (VERDICT r3 #8),
+# CPE pricing, profile/bench records.
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+export STALL_SECS=600
+
+# two-stage feature pretrain (reference scripts/train_man_keypt_detector.sh
+# -> train_man_descriptor.sh), shortened schedule
+tools/feats_retry.sh runs/r4_feats_det 3 --stage detector \
+    --dataset synthetic --batch-size 16 --epochs 15
+tools/feats_retry.sh runs/r4_feats_desc 3 --stage descriptor \
+    --dataset synthetic --batch-size 8 --epochs 15 \
+    --pretrain-detector runs/r4_feats_det/ckpt/feats_detector
+
+# matched cold vs warm registration runs (20 epochs)
+tools/train_retry.sh runs/r4_v11_cold 3 --experiment reg_v11 --dataset synthetic \
+    --batch-size 8 --epochs 20
+tools/train_retry.sh runs/r4_v11_warm 3 --experiment reg_v11 --dataset synthetic \
+    --batch-size 8 --epochs 20 --pretrain-feats runs/r4_feats_desc/ckpt/feats_descriptor
+
+# CPE pricing (throughput) + fixed profile breakdown + bench record
+timeout 1800 python tools/price_cpe.py > results/price_cpe.txt 2>&1
+timeout 1800 python tools/profile_breakdown.py > /tmp/profile_r4.log 2>&1
+echo "[chain_r4e] done"
