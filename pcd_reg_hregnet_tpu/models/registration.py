@@ -89,8 +89,24 @@ class RegistrationModel(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype != 'float32' else None
         feat_net = HierFeatureExtraction(cfg, axis_name=self.axis_name,
                                          name='feature_extraction')
-        src = feat_net(src_points, train)
-        dst = feat_net(dst_points, train)
+        if train:
+            # two tower calls: BatchNorm batch statistics are computed per
+            # cloud, matching the reference's sequential forward passes
+            # (`model_v6/models.py:141-142`)
+            src = feat_net(src_points, train)
+            dst = feat_net(dst_points, train)
+        else:
+            # eval: ONE fused 2B-batch tower call.  Bit-identical outputs
+            # (eval BatchNorm uses running stats, every other op is
+            # per-example), but the inherently latency-bound sequential
+            # parts — the FPS fori_loops, kNN top-k chains — run once over
+            # a 2B batch instead of twice back-to-back, and every matmul
+            # fills the MXU better.
+            B = src_points.shape[0]
+            both = feat_net(
+                jnp.concatenate([src_points, dst_points], axis=0), train)
+            src = {k: v[:B] for k, v in both.items()}
+            dst = {k: v[B:] for k, v in both.items()}
 
         c3 = cfg.levels[2].desc_dim
         coarse = CoarseReg(k=cfg.coarse_k, in_channels=c3,

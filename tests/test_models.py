@@ -98,6 +98,27 @@ class TestVariants:
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+class TestFusedEvalTowers:
+    def test_concat_tower_equals_two_calls(self):
+        """RegistrationModel's eval path runs ONE fused 2B-batch feature
+        tower (FPS loops + kNN run once, not twice back-to-back).  That is
+        only sound if every tower op is per-example in eval mode (BN uses
+        running stats): tower(concat(a, b)) == concat(tower(a), tower(b))."""
+        from pcd_reg_hregnet_tpu.models.registration import HierFeatureExtraction
+        cfg = small_cfg('model_v6')
+        net = HierFeatureExtraction(cfg)
+        src, dst = make_inputs()
+        v = net.init(jax.random.PRNGKey(0), src, train=False)
+        both = net.apply(v, jnp.concatenate([src, dst], 0), train=False)
+        s = net.apply(v, src, train=False)
+        d = net.apply(v, dst, train=False)
+        for k in s:
+            np.testing.assert_allclose(both[k][:2], s[k], rtol=0, atol=1e-5,
+                                       err_msg=k)
+            np.testing.assert_allclose(both[k][2:], d[k], rtol=0, atol=1e-5,
+                                       err_msg=k)
+
+
 class TestAttentionModel:
     def test_v5_forward(self):
         import dataclasses
