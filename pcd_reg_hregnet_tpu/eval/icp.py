@@ -59,20 +59,26 @@ def truncated_residual(src: jnp.ndarray, dst: jnp.ndarray, T: jnp.ndarray,
     return jnp.mean(jnp.minimum(d2, threshold * threshold), axis=-1)
 
 
-TRUST_MARGIN = 0.95
+TRUST_MARGIN = 0.5
 
 
-def _trust_select(src, dst, init_T, refined_T, threshold_end):
-    """Keep the refined pose only where it scores CLEARLY better than the
-    initial one (per batch item) — ICP may fix failures, never damage
-    successes.  The margin matters: on resampled clouds the truncated
-    residuals of a converged pose and a slightly-drifted ICP optimum are
-    near-ties (every neighbour distance sits at the sampling-spacing
-    floor), and a bare `<` let the drifted pose win the coin flip —
-    exactly the r3 degradation.  Ties go to the initial (network) pose."""
+def _trust_select(src, dst, init_T, refined_T, threshold_end,
+                  trust_margin=None):
+    """Keep the refined pose only where it scores MUCH better than the
+    initial one (per batch item) — ICP may fix tail failures, never damage
+    successes.  The margin matters, and it must be aggressive: on
+    resampled clouds ICP's own optimum sits a fixed bias (~0.1 deg at 8096
+    synthetic points) away from ground truth, so for any near-converged
+    initial pose ICP *genuinely lowers the NN residual* while moving away
+    from GT — a 5% margin still accepted those and degraded the mean
+    (r4 first pass: rre 0.097 -> 0.114).  A failure-tail pose, by
+    contrast, scores several times worse than ICP's basin, so requiring a
+    2x residual improvement (margin 0.5) separates 'ICP rescued a failure'
+    from 'ICP drifted to its own biased optimum'."""
+    margin = TRUST_MARGIN if trust_margin is None else trust_margin
     r_init = truncated_residual(src, dst, init_T, threshold_end)
     r_ref = truncated_residual(src, dst, refined_T, threshold_end)
-    better = (r_ref < TRUST_MARGIN * r_init)[:, None, None]
+    better = (r_ref < margin * r_init)[:, None, None]
     return jnp.where(better, refined_T, init_T)
 
 
@@ -80,7 +86,8 @@ def _trust_select(src, dst, init_T, refined_T, threshold_end):
 def icp_point_to_point(src: jnp.ndarray, dst: jnp.ndarray,
                        init_T: jnp.ndarray, threshold: float = 1.0,
                        max_iters: int = 30,
-                       threshold_end: float = 0.1) -> jnp.ndarray:
+                       threshold_end: float = 0.1,
+                       trust_margin: float | None = None) -> jnp.ndarray:
     """Point-to-point ICP.  src/dst [B, N, 3]; init_T [B, 4, 4] -> [B, 4, 4]."""
 
     def step(i, T):
@@ -96,7 +103,8 @@ def icp_point_to_point(src: jnp.ndarray, dst: jnp.ndarray,
         return se3.compose(se3.pack(R, t), T)
 
     refined = jax.lax.fori_loop(0, max_iters, step, init_T)
-    return _trust_select(src, dst, init_T, refined, threshold_end)
+    return _trust_select(src, dst, init_T, refined, threshold_end,
+                         trust_margin)
 
 
 @partial(jax.jit, static_argnames=('k',))
@@ -120,7 +128,8 @@ def estimate_normals(points: jnp.ndarray, k: int = 16) -> jnp.ndarray:
 def icp_point_to_plane(src: jnp.ndarray, dst: jnp.ndarray,
                        dst_normals: jnp.ndarray, init_T: jnp.ndarray,
                        threshold: float = 1.0, max_iters: int = 30,
-                       threshold_end: float = 0.1) -> jnp.ndarray:
+                       threshold_end: float = 0.1,
+                       trust_margin: float | None = None) -> jnp.ndarray:
     """Point-to-plane ICP via the small-angle linearised normal equations.
 
     Each step solves  min_x sum_i w_i ((J_i x) + r_i)^2  with
@@ -152,18 +161,20 @@ def icp_point_to_plane(src: jnp.ndarray, dst: jnp.ndarray,
         return se3.compose(se3.exp(x), T)
 
     refined = jax.lax.fori_loop(0, max_iters, step, init_T)
-    return _trust_select(src, dst, init_T, refined, threshold_end)
+    return _trust_select(src, dst, init_T, refined, threshold_end,
+                         trust_margin)
 
 
 def refine(src: jnp.ndarray, dst: jnp.ndarray, init_T: jnp.ndarray,
            method: str = 'point_to_point', threshold: float = 1.0,
-           max_iters: int = 30, threshold_end: float = 0.1) -> jnp.ndarray:
+           max_iters: int = 30, threshold_end: float = 0.1,
+           trust_margin: float | None = None) -> jnp.ndarray:
     """ICP refinement dispatch (the reference's test_v4 'layer 4')."""
     if method == 'point_to_point':
         return icp_point_to_point(src, dst, init_T, threshold, max_iters,
-                                  threshold_end)
+                                  threshold_end, trust_margin)
     if method == 'point_to_plane':
         normals = estimate_normals(dst)
         return icp_point_to_plane(src, dst, normals, init_T, threshold,
-                                  max_iters, threshold_end)
+                                  max_iters, threshold_end, trust_margin)
     raise ValueError(f'unknown ICP method {method!r}')

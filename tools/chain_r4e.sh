@@ -20,6 +20,17 @@ tools/train_retry.sh runs/r4_v11_cold 3 --experiment reg_v11 --dataset synthetic
 tools/train_retry.sh runs/r4_v11_warm 3 --experiment reg_v11 --dataset synthetic \
     --batch-size 8 --epochs 20 --pretrain-feats runs/r4_feats_desc/ckpt/feats_descriptor
 
+# ICP margin sweep (trust_margin added after the stage-B sweep ran) and
+# final ICP evals with the tightened default margin
+timeout 2400 python tools/sweep_icp.py runs/r3_v11_knn/ckpt/best_rre \
+    --out results/icp_sweep.json
+timeout 1200 python -m pcd_reg_hregnet_tpu eval --dataset synthetic \
+    --batch-size 8 --ckpt runs/r3_v11_knn/ckpt/best_rre --icp point_to_plane \
+    --results results/v11_r4_eval_icp.json
+timeout 1200 python -m pcd_reg_hregnet_tpu eval --dataset synthetic \
+    --batch-size 8 --ckpt runs/r3_v11_knn/ckpt/best_rre --icp point_to_point \
+    --results results/v11_r4_eval_icp_p2p.json
+
 # CPE pricing (throughput) + fixed profile breakdown + bench record
 timeout 1800 python tools/price_cpe.py > results/price_cpe.txt 2>&1
 timeout 1800 python tools/profile_breakdown.py > /tmp/profile_r4.log 2>&1

@@ -66,12 +66,13 @@ def main() -> int:
     mesh = make_mesh(1, 'data')
     eval_step = make_eval_step(objective, mesh)
 
-    grid = [(m, thr_end, iters)
+    grid = [(m, thr_end, iters, margin)
             for m in ('point_to_point', 'point_to_plane')
             for thr_end in (0.05, 0.1, 0.2)
-            for iters in (30, 60)]
-    evs = {k: CalibEval() for k in ['net'] + [f'{m}_t{t}_i{i}'
-                                             for m, t, i in grid]}
+            for iters in (30, 60)
+            for margin in (0.95, 0.7, 0.5, 0.3)]
+    evs = {k: CalibEval() for k in ['net'] + [f'{m}_t{t}_i{i}_m{g}'
+                                             for m, t, i, g in grid]}
 
     nb = 0
     for batch in batch_iterator(ds, args.batch_size, drop_last=True):
@@ -82,14 +83,15 @@ def main() -> int:
         evs['net'].add_batch(igt, net_T)
         src, dst = jb['uncalibed_pcd'], jb['pcd_left']
         normals = estimate_normals(dst)
-        for m, thr_end, iters in grid:
+        for m, thr_end, iters, margin in grid:
             if m == 'point_to_point':
                 T = icp_point_to_point(src, dst, jnp.asarray(net_T), 1.0,
-                                       iters, thr_end)
+                                       iters, thr_end, margin)
             else:
                 T = icp_point_to_plane(src, dst, normals, jnp.asarray(net_T),
-                                       1.0, iters, thr_end)
-            evs[f'{m}_t{thr_end}_i{iters}'].add_batch(igt, np.asarray(T))
+                                       1.0, iters, thr_end, margin)
+            evs[f'{m}_t{thr_end}_i{iters}_m{margin}'].add_batch(
+                igt, np.asarray(T))
         nb += 1
         if nb >= args.max_batches:
             break
@@ -99,7 +101,7 @@ def main() -> int:
                               'rte_m', 'rte_sd', 'rte_p95')}
               for name, ev in evs.items()}
     report['_meta'] = {'ckpt': args.ckpt, 'pairs': nb * args.batch_size,
-                       'threshold_start': 1.0, 'trust_margin': 0.95}
+                       'threshold_start': 1.0}
     os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)
     json.dump(report, open(args.out, 'w'), indent=2)
     for name in report:
