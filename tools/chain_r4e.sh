@@ -31,6 +31,10 @@ timeout 1200 python -m pcd_reg_hregnet_tpu eval --dataset synthetic \
     --batch-size 8 --ckpt runs/r3_v11_knn/ckpt/best_rre --icp point_to_point \
     --results results/v11_r4_eval_icp_p2p.json
 
+# kNN A/B re-run with the fixed device-resident-params timing
+timeout 1800 python tools/ab_knn.py runs/r3_v11_knn/ckpt/best_rre \
+    --experiment reg_v11 --out results/ab_knn_r4.json
+
 # CPE pricing (throughput) + fixed profile breakdown + bench record
 timeout 1800 python tools/price_cpe.py > results/price_cpe.txt 2>&1
 timeout 1800 python tools/profile_breakdown.py > /tmp/profile_r4.log 2>&1
