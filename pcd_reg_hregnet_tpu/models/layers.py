@@ -37,8 +37,12 @@ class ConvBNReLU(nn.Module):
     """Stack of (pointwise Dense -> BatchNorm -> ReLU), torch Conv(1x1)+BN+ReLU.
 
     `dtype` sets the matmul compute precision (bfloat16 doubles MXU
-    throughput); BatchNorm statistics and activations between layers stay
-    float32 so training at small batch sizes is unaffected.
+    throughput).  In TRAIN mode BatchNorm runs float32 (batch statistics
+    at small batches are precision-sensitive) — which also means every
+    bf16 Dense is bracketed by f32 activations, so bf16 training gains
+    little.  In EVAL mode BN is a frozen affine (running stats, no
+    updates), so it runs in the compute dtype and activations stay bf16
+    end-to-end through the stack (stats themselves remain f32 variables).
     """
     features: Sequence[int]
     axis_name: Optional[str] = None
@@ -46,11 +50,12 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        bn_dtype = jnp.float32 if train else self.dtype
         for f in self.features:
             x = nn.Dense(f, use_bias=False, dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, axis_name=self.axis_name,
-                             dtype=jnp.float32)(x)
+                             dtype=bn_dtype)(x)
             x = nn.relu(x)
         return x
 
@@ -64,11 +69,14 @@ class MLPHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # same dtype policy as ConvBNReLU: f32 BN in train, compute-dtype
+        # (bf16-capable) frozen-affine BN in eval
+        bn_dtype = jnp.float32 if train else self.dtype
         for f in self.hidden:
             x = nn.Dense(f, dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, axis_name=self.axis_name,
-                             dtype=jnp.float32)(x)
+                             dtype=bn_dtype)(x)
             x = nn.relu(x)
         return nn.Dense(self.out)(x)
 

@@ -210,8 +210,11 @@ class PTv3Block(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, nbr_idx=None, rel=None):
-        # CPE + linear + norm, residual (`ptv3.py:539-560`)
+    def __call__(self, x, nbr_idx=None, rel=None, train: bool = False):
+        # CPE + linear + norm, residual (`ptv3.py:539-560`).  LayerNorms
+        # run f32 in train (reduction precision) but in the compute dtype
+        # at eval, keeping activations bf16 through the whole block chain
+        ln_dtype = jnp.float32 if train else self.dtype
         if self.cpe == 'knn':
             assert nbr_idx is not None and rel is not None
             cpe = KnnCPE(self.channels, dtype=self.dtype)(x, nbr_idx, rel)
@@ -221,14 +224,14 @@ class PTv3Block(nn.Module):
             cpe = None
         if cpe is not None:
             cpe = nn.Dense(self.channels, dtype=self.dtype)(cpe).astype(x.dtype)
-            cpe = nn.LayerNorm(epsilon=1e-2)(cpe)
+            cpe = nn.LayerNorm(epsilon=1e-2, dtype=ln_dtype)(cpe)
             x = x + cpe
 
-        h = nn.LayerNorm(epsilon=1e-2)(x)
+        h = nn.LayerNorm(epsilon=1e-2, dtype=ln_dtype)(x)
         x = x + PatchAttention(self.channels, self.num_heads, self.patch_size,
                                dtype=self.dtype)(h)
 
-        h = nn.LayerNorm(epsilon=1e-2)(x)
+        h = nn.LayerNorm(epsilon=1e-2, dtype=ln_dtype)(x)
         x = x + PTv3Mlp(self.channels, self.mlp_ratio, dtype=self.dtype)(h)
         return x
 
@@ -336,7 +339,7 @@ class PointTransformerV3(nn.Module):
                 br = jnp.take_along_axis(rel, order[..., None, None], axis=1)
             xs = PTv3Block(x.shape[-1], heads,
                            min(self.patch_size, x.shape[1]),
-                           self.mlp_ratio, cpe=self.cpe)(xs, bi, br)
+                           self.mlp_ratio, cpe=self.cpe)(xs, bi, br, train)
             x = jnp.take_along_axis(xs, inverse[..., None], axis=1)
         return x
 
@@ -421,23 +424,30 @@ class PointTransformerEncoder(nn.Module):
             xyz_s = jnp.take_along_axis(xyz, order[..., None], axis=1)
             nbr_idx, rel = cpe_neighbors(xyz_s)
 
-        # Embedding stem (`ptv3.py:760-795`): serialized conv + norm + GELU
+        # Embedding stem (`ptv3.py:760-795`): serialized conv + norm + GELU.
+        # Norm dtype policy: f32 batch statistics in train; frozen-affine
+        # in the compute dtype at eval (activations stay bf16 end-to-end)
+        bn_dtype = jnp.float32 if train else self.dtype
         x = SerializedDepthwiseConv(x.shape[-1], kernel=5, dtype=self.dtype)(x)
-        x = nn.Dense(self.channels, dtype=self.dtype)(x).astype(jnp.float32)
+        x = nn.Dense(self.channels, dtype=self.dtype)(x)
+        if train:
+            x = x.astype(jnp.float32)
         # torch momentum 0.01 -> flax decay 0.99 (see PointTransformerV3 stem)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-2, axis_name=self.axis_name)(x)
+                         epsilon=1e-2, axis_name=self.axis_name,
+                         dtype=bn_dtype)(x)
         x = nn.gelu(x)
 
         for s, depth in enumerate(self.depths):
             if s > 0:
-                x = nn.Dense(self.channels)(x)
+                x = nn.Dense(self.channels, dtype=self.dtype)(x)
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, axis_name=self.axis_name)(x)
+                                 epsilon=1e-5, axis_name=self.axis_name,
+                                 dtype=bn_dtype)(x)
                 x = nn.gelu(x)
             for _ in range(depth):
                 x = PTv3Block(self.channels, self.num_heads[s],
                               self.patch_size, self.mlp_ratio, cpe=self.cpe,
-                              dtype=self.dtype)(x, nbr_idx, rel)
+                              dtype=self.dtype)(x, nbr_idx, rel, train)
 
         return jnp.take_along_axis(x, inverse[..., None], axis=1)
