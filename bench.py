@@ -80,8 +80,9 @@ def main() -> None:
         @jax.jit
         def forward(s, d):
             out = model.apply(variables, s, d, train=False)
-            # reduce to one scalar: slices get DCE'd, dict readbacks don't sync
-            return out['rotation'][-1][0, 0, 0] + out['translation'][-1][0, 0]
+            # reduce to one scalar over the WHOLE batch: an element slice
+            # invites XLA to DCE the other batch items' work, a sum cannot
+            return out['rotation'][-1].sum() + out['translation'][-1].sum()
 
         dt = _timeit(forward, src, dst)
         return BATCH / dt, _flops_of(forward, src, dst) / dt
