@@ -35,8 +35,10 @@ def _common(p: argparse.ArgumentParser) -> None:
                         '(wandb.watch equivalent)')
     p.add_argument('--compute-dtype', default=None,
                    choices=['float32', 'bfloat16'],
-                   help='activation dtype of the compute path (bfloat16 '
-                        'doubles MXU throughput on TPU)')
+                   help='activation dtype of the compute path (for this '
+                        'model bfloat16 is mainly an activation-memory '
+                        'knob — the hot spots are gathers and sampling, '
+                        'not matmul throughput; see results/roofline_r4.md)')
     p.add_argument('--debug-scale', action='store_true',
                    help='shrink the keypoint pyramid (64/32/16 samples) and '
                         'PTv3 stack for CPU smoke runs / CI')
