@@ -62,6 +62,12 @@ class ModelConfig:
     ptv3_cpe: str = 'knn'
     # dtype of the compute path ('bfloat16' activations are the TPU default)
     compute_dtype: str = 'float32'
+    # Run the src/dst feature towers as ONE 2B-batch call in TRAIN mode
+    # too (eval always fuses — bit-identical there).  Saves the second
+    # sequential FPS/kNN chain per step; deviation: BatchNorm batch
+    # statistics are then computed jointly over both clouds instead of
+    # per cloud (the reference runs two sequential forwards).
+    fuse_towers_train: bool = False
 
 
 @dataclass(frozen=True)

@@ -90,6 +90,11 @@ def evaluate(cfg: Config, state: TrainState, *, split: str = 'test',
         'distribution': cfg.data.distribution,
         'icp': icp or 'none',
     }
+    # headline summary of the finest layer (+ ICP layer if present) goes
+    # INTO the metadata so the saved JSON carries it too (it used to be
+    # added to the returned dict only, after the file was written)
+    metadata['summary'] = evaluator.evaluators[num_layers - 1].summary()
+    metadata['summary_network'] = evaluator.evaluators[2].summary()
     if results_path:
         os.makedirs(os.path.dirname(results_path) or '.', exist_ok=True)
         combined = evaluator.save_all_results(results_path, metadata)
@@ -97,9 +102,6 @@ def evaluate(cfg: Config, state: TrainState, *, split: str = 'test',
         combined = {f'layer_{i}': e.get_results()
                     for i, e in evaluator.evaluators.items()}
         combined.update(metadata)
-    # headline summary of the finest network layer (+ ICP layer if present)
-    combined['summary'] = evaluator.evaluators[num_layers - 1].summary()
-    combined['summary_network'] = evaluator.evaluators[2].summary()
     return combined
 
 

@@ -89,10 +89,12 @@ class RegistrationModel(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype != 'float32' else None
         feat_net = HierFeatureExtraction(cfg, axis_name=self.axis_name,
                                          name='feature_extraction')
-        if train:
+        if train and not cfg.fuse_towers_train:
             # two tower calls: BatchNorm batch statistics are computed per
             # cloud, matching the reference's sequential forward passes
-            # (`model_v6/models.py:141-142`)
+            # (`model_v6/models.py:141-142`).  `fuse_towers_train=True`
+            # opts into the fused path below for training too (joint BN
+            # stats over both clouds — documented deviation).
             src = feat_net(src_points, train)
             dst = feat_net(dst_points, train)
         else:
