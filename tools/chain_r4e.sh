@@ -31,6 +31,14 @@ timeout 1200 python -m pcd_reg_hregnet_tpu eval --dataset synthetic \
     --batch-size 8 --ckpt runs/r3_v11_knn/ckpt/best_rre --icp point_to_point \
     --results results/v11_r4_eval_icp_p2p.json
 
+# classical ICP-only rows refreshed with the annealed solver
+timeout 1200 python -m pcd_reg_hregnet_tpu eval --dataset synthetic \
+    --batch-size 8 --icp-only --icp point_to_point --icp-iters 100 \
+    --results results/icp_only_p2p.json
+timeout 1200 python -m pcd_reg_hregnet_tpu eval --dataset synthetic \
+    --batch-size 8 --icp-only --icp point_to_plane --icp-iters 100 \
+    --results results/icp_only_p2plane.json
+
 # kNN A/B re-run with the fixed device-resident-params timing
 timeout 1800 python tools/ab_knn.py runs/r3_v11_knn/ckpt/best_rre \
     --experiment reg_v11 --out results/ab_knn_r4.json
