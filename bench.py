@@ -16,15 +16,17 @@ Extra fields (VERDICT r1 next-step #4):
     FLOPs / wall time / chip peak (f32 peak on the MXU);
   * `pairs_per_sec_bf16` — forward with compute_dtype=bfloat16.
 
-`python bench.py --scaling` instead runs the data-parallel scaling
-harness on a virtual CPU mesh (1..8 devices, tiny shapes): prints one
-JSON line with per-mesh-size step times and parallel efficiency — the
-correctness/shape check for pod scaling (a real pod is not attachable
-from this environment; BASELINE.md's >=80% multi-host target needs one).
+`python bench.py --scaling` instead runs the partitioned-HLO scaling
+proxy (tools/scaling_proxy.py) on a virtual CPU mesh: per-device FLOPs
+must scale ~1/N and gradient all-reduces must be present with an
+N-independent count — the check that would actually catch a sharding
+regression (virtual-device wall-clock on shared cores measures nothing;
+BASELINE.md's >=80% multi-host target needs a real pod).
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from functools import partial
@@ -148,70 +150,21 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Data-parallel scaling on a virtual CPU mesh (correctness + relative
-    efficiency; run with JAX_PLATFORMS=cpu
-    XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
-    import dataclasses
+    """Multi-device scaling proxy on the virtual CPU mesh.
+
+    Delegates to tools/scaling_proxy.py (VERDICT r3 #5: wall-clock on
+    virtual devices sharing 2 physical cores measures nothing): compiles
+    the train step at mesh 1/2/4/8 with the SAME global batch and checks
+    the partitioned HLO — per-device FLOPs must scale ~1/N and the
+    gradient all-reduces must be present with an N-independent count.
+    Prints one JSON line; also writes results/scaling_proxy.json."""
     import jax
-    import numpy as np
-
-    from pcd_reg_hregnet_tpu.core.config import LevelConfig
-    from pcd_reg_hregnet_tpu.data import batch_iterator, load_dataset
-    from pcd_reg_hregnet_tpu.parallel.mesh import make_mesh, shard_batch
-    from pcd_reg_hregnet_tpu.train import experiment
-    from pcd_reg_hregnet_tpu.train.loop import create_state, make_train_step
-    from pcd_reg_hregnet_tpu.train.objective import RegistrationObjective
-
-    levels = (LevelConfig(64, 16, (16, 16, 32), 32),
-              LevelConfig(32, 8, (32, 32, 64), 64),
-              LevelConfig(16, 8, (64, 64, 128), 128))
-    results = {}
-    n_dev = len(jax.devices())
-    sizes = [s for s in (1, 2, 4, 8) if s <= n_dev]
-    for size in sizes:
-        per_device_batch = 2
-        bs = per_device_batch * size   # weak scaling: fixed work per device
-        cfg = experiment('reg_v11')
-        cfg = dataclasses.replace(
-            cfg,
-            model=dataclasses.replace(cfg.model, levels=levels,
-                                      ptv3_patch_sizes=(16, 16, 16),
-                                      ptv3_depths=(1,), ptv3_num_heads=(2,)),
-            data=dataclasses.replace(cfg.data, dataset='synthetic',
-                                     pcd_min_samples=512, batch_size=bs))
-        ds = load_dataset(cfg.data, 'train', length=bs, points_per_cloud=1024)
-        batch = next(batch_iterator(ds, bs))
-        mesh = make_mesh(size)
-        objective = RegistrationObjective(cfg)
-        state, tx = create_state(cfg, objective, batch, 10)
-        step = make_train_step(objective, tx, mesh)
-        sb = shard_batch(batch, mesh)
-        state, m = step(state, sb)     # compile
-        np.asarray(m['loss'])
-        t0 = time.perf_counter()
-        for _ in range(5):
-            state, m = step(state, sb)
-        np.asarray(m['loss'])
-        dt = (time.perf_counter() - t0) / 5
-        results[size] = dict(step_ms=round(dt * 1e3, 2),
-                             pairs_per_sec=round(bs / dt, 2))
-    base = results[sizes[0]]['pairs_per_sec']
-    for size in sizes:
-        results[size]['efficiency'] = round(
-            results[size]['pairs_per_sec'] / (base * size), 3)
-    backend = jax.default_backend()
-    print(json.dumps({
-        'metric': 'weak_scaling_efficiency',
-        'value': results[sizes[-1]]['efficiency'],
-        'unit': 'fraction',
-        'vs_baseline': 0.8,            # BASELINE.md >=80% target
-        'mesh_sizes': {str(k): v for k, v in results.items()},
-        'backend': backend,
-        'note': ('virtual CPU devices share physical cores: efficiency is '
-                 'NOT indicative there, only plumbing/correctness; run on '
-                 'a real multi-chip slice for the BASELINE.md target'
-                 ) if backend == 'cpu' else 'real multi-chip measurement',
-    }))
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'tools'))
+    import scaling_proxy
+    rc = scaling_proxy.main()
+    if rc:
+        raise SystemExit(rc)
 
 
 if __name__ == '__main__':

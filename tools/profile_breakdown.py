@@ -1,4 +1,4 @@
-"""Per-component time breakdown of the flagship train step -> results/profile_r3.md.
+"""Per-component time breakdown of the flagship train step -> results/profile_r4.md.
 
 VERDICT r2 #4: "produce a per-op time breakdown of the B=8 train step ...
 then attack the top item".  Times, on the attached chip at production
@@ -138,6 +138,13 @@ def main() -> int:
         timeit(scalarize(lambda s, d: model.apply(variables, s, d,
                                                   train=False)), pts, pts2))
 
+    # bf16 forward at matched params: the VERDICT r3 #6 probe (bf16 went
+    # from +5% to -3% vs f32 across r2->r3; record where it stands now)
+    model_bf = build('model_v6', compute_dtype='bfloat16')
+    rec('full forward model_v6 (bfloat16)',
+        timeit(scalarize(lambda s, d: model_bf.apply(variables, s, d,
+                                                     train=False)), pts, pts2))
+
     # ---- train step -------------------------------------------------------
     ds = load_dataset(ds_cfg, 'train', length=B)
     batch = next(batch_iterator(ds, B))
@@ -178,7 +185,7 @@ def main() -> int:
     # ---- write markdown ---------------------------------------------------
     train_ms = dict(rows).get('train step (float32)', 1.0)
     os.makedirs('results', exist_ok=True)
-    with open('results/profile_r3.md', 'w') as f:
+    with open('results/profile_r4.md', 'w') as f:
         f.write('# Round-3 per-component time breakdown (B=8, N=8096, one '
                 f'v5e chip via tunnel)\n\n'
                 f'Backend: {jax.default_backend()}; iters={ITERS}; every '
@@ -186,7 +193,7 @@ def main() -> int:
                 '| component | ms | % of f32 train step |\n|---|---|---|\n')
         for name, ms in rows:
             f.write(f'| {name} | {ms:.3f} | {100 * ms / train_ms:.1f}% |\n')
-    print('\nwrote results/profile_r3.md')
+    print('\nwrote results/profile_r4.md')
     return 0
 
 
