@@ -187,6 +187,10 @@ class TestCalibEval:
         ev.add_batch(igt, jnp.asarray(pred)[None])
         _, t, _ = ev.get_stats()
         np.testing.assert_allclose(t, [1.0, 0, 0], atol=1e-6)
+        s = ev.summary()
+        # tail metrics present and consistent on a single-sample dist
+        np.testing.assert_allclose(s['rte_p95'], s['rte_m'], atol=1e-6)
+        assert 'rre_p95' in s
 
     def test_recall_thresholds(self):
         igt = jnp.eye(4)[None]
