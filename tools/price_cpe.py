@@ -44,6 +44,8 @@ def main() -> int:
                              minval=-60., maxval=60.)
 
     variants = [('knn', 'model_v6', dict(ptv3_cpe='knn')),
+                ('knn_fused_train', 'model_v6',
+                 dict(ptv3_cpe='knn', fuse_towers_train=True)),
                 ('curve', 'model_v6', dict(ptv3_cpe='curve')),
                 ('none', 'model_v6', dict(ptv3_cpe='none')),
                 ('conv_v0', 'hregnet', {})]
