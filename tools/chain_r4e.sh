@@ -46,4 +46,7 @@ timeout 1800 python tools/ab_knn.py runs/r3_v11_knn/ckpt/best_rre \
 # CPE pricing (throughput) + fixed profile breakdown + bench record
 timeout 1800 python tools/price_cpe.py > results/price_cpe.txt 2>&1
 timeout 1800 python tools/profile_breakdown.py > /tmp/profile_r4.log 2>&1
+python tools/summarize_run.py runs/r3_v11_knn runs/r4_v6 runs/r3_v11_curve \
+    runs/r4_v11_none runs/r4_v11_cold runs/r4_v11_warm \
+    > results/r4_summary.txt 2>&1 || true
 echo "[chain_r4e] done"
