@@ -52,6 +52,12 @@ def evaluate(cfg: Config, state: TrainState, *, split: str = 'test',
                                     translation_threshold=recall_trans_m,
                                     rotation_threshold=recall_rot_deg)
 
+    # restored checkpoints are host numpy trees: device-put ONCE, or every
+    # batch re-uploads the whole parameter set through the device tunnel
+    # (the ab_knn timing bug, measured ~1 s/call of pure transfer)
+    params = jax.tree.map(jnp.asarray, state.params)
+    batch_stats = jax.tree.map(jnp.asarray, state.batch_stats)
+
     @jax.jit
     def forward(params, batch_stats, batch):
         _, _, ret = objective.apply({'params': params, 'batch_stats': batch_stats},
@@ -77,7 +83,7 @@ def evaluate(cfg: Config, state: TrainState, *, split: str = 'test',
             # never silently fall back to an unsharded program
             batch = pad_to_multiple(batch, mesh.devices.size)
         sb = shard_batch(batch, mesh)
-        poses = forward(state.params, state.batch_stats,
+        poses = forward(params, batch_stats,
                         jax.tree.map(jnp.asarray, sb))
         for layer, pred in enumerate(poses):
             evaluator.add_batch(layer, jnp.asarray(batch['igt'][:n]), pred[:n])
