@@ -16,6 +16,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
@@ -54,18 +55,20 @@ def fit_feats(cfg: Config, *, stage: str = 'detector',
         t0 = time.time()
         if hasattr(train_ds, 'set_epoch'):
             train_ds.set_epoch(epoch)
-        sums, count = {}, 0
+        keys, sum_vec, count = None, None, 0
         for batch in batch_iterator(train_ds, bs, shuffle=True,
                                     seed=cfg.train.seed, epoch=epoch):
             state, m = step(state, shard_batch(batch, mesh))
             count += 1
-            # accumulate ON DEVICE; one readback per metric at epoch end
-            # (per-step np.asarray is a synchronous tunnel round-trip —
-            # the same stall run_epoch() had before r3)
-            for k, v in m.items():
-                sums[k] = v if k not in sums else sums[k] + v
-        metrics = {k: float(np.mean(np.asarray(v)) / count)
-                   for k, v in sums.items()}
+            # accumulate ON DEVICE as one stacked vector; single readback
+            # per epoch (per-step readbacks stall the tunnel; per-metric
+            # scalar ops leak host memory — see run_epoch)
+            if keys is None:
+                keys = sorted(m)
+            vec = jnp.stack([jnp.mean(m[k]) for k in keys])
+            sum_vec = vec if sum_vec is None else sum_vec + vec
+        totals = np.asarray(sum_vec)
+        metrics = {k: float(totals[i]) / count for i, k in enumerate(keys)}
         logger.log_epoch(epoch, metrics, {}, seconds=time.time() - t0)
         total += count
         save_checkpoint(os.path.join(log_dir, cfg.train.ckpt_dir),

@@ -123,7 +123,7 @@ def run_epoch(dataset, step, state, mesh, batch_size, *, train: bool,
     """One pass over the dataset (or `max_batches`); returns (state, means)."""
     if hasattr(dataset, 'set_epoch'):
         dataset.set_epoch(epoch)
-    sums, count = {}, 0
+    count = 0
     # multi-host input contract: every process iterates the same
     # deterministic global order but LOADS only its own rows (the slice is
     # pushed into the iterator, so per-process disk I/O + preprocessing is
@@ -132,6 +132,7 @@ def run_epoch(dataset, step, state, mesh, batch_size, *, train: bool,
     if jax.process_count() > 1:
         from ..parallel.distributed import process_local_batch_slice
         sl = process_local_batch_slice(batch_size)
+    keys, sum_vec = None, None
     for batch in batch_iterator(dataset, batch_size, shuffle=shuffle,
                                 seed=seed, epoch=epoch,
                                 num_workers=num_workers, local_slice=sl):
@@ -143,13 +144,22 @@ def run_epoch(dataset, step, state, mesh, batch_size, *, train: bool,
         count += 1
         # accumulate ON DEVICE (async adds): one np.asarray per metric per
         # STEP is a synchronous tunnel round-trip — measured minutes per
-        # epoch of pure host stall at 256 steps/epoch on a remote chip
-        for k, v in metrics.items():
-            sums[k] = v if k not in sums else sums[k] + v
+        # epoch of pure host stall at 256 steps/epoch on a remote chip.
+        # Accumulate ONE stacked vector, not one scalar per metric: every
+        # dispatched remote op carries fixed host-side bookkeeping, and
+        # ~26 scalar adds/step leaked host memory at ~1.3 GB/epoch on the
+        # tunnelled platform (a 100-epoch run was OOM-killed at 130 GB)
+        if keys is None:
+            keys = sorted(metrics)
+        vec = jnp.stack([jnp.mean(metrics[k]) for k in keys])
+        sum_vec = vec if sum_vec is None else sum_vec + vec
         if max_batches is not None and count >= max_batches:
             break
-    # single readback per metric at epoch end
-    means = {k: float(np.mean(np.asarray(v)) / count) for k, v in sums.items()}
+    # single readback at epoch end
+    if keys is None:
+        return state, {}
+    totals = np.asarray(sum_vec)
+    means = {k: float(totals[i]) / count for i, k in enumerate(keys)}
     return state, means
 
 
@@ -267,6 +277,15 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
             _, val_metrics = run_epoch(val_ds, eval_step, state, mesh, bs,
                                        train=False, shuffle=False,
                                        seed=cfg.train.seed, epoch=epoch)
+        # host RSS watermark per epoch: long runs on the tunnelled device
+        # platform leak host memory (~1.3 GB/epoch observed; a 100-epoch
+        # run OOM-killed at 130 GB on a 128 GB host) — the column makes
+        # the leak visible in metrics.csv and lets the retry harness'
+        # resume machinery be recognised as OOM recovery, not a crash
+        import resource
+        train_metrics = dict(train_metrics)
+        train_metrics['host_rss_mb'] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1)
         logger.log_epoch(epoch, train_metrics, val_metrics,
                          seconds=time.time() - t0)
 
