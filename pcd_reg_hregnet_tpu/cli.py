@@ -48,14 +48,16 @@ def _common(p: argparse.ArgumentParser) -> None:
                    help='PTv3 serialization voxel size (ablations)')
 
 
-def _ckpt_model_config(ckpt_path):
-    """Model config recorded in a checkpoint's meta.json, or None.
+def _ckpt_config(ckpt_path):
+    """Full Config recorded in a checkpoint's meta.json, or None.
 
     Architecture flags are part of the parameter tree (e.g. a curve-CPE
-    checkpoint will not restore under a knn-CPE config), so eval / infer /
-    resume default the MODEL config from the checkpoint itself and let CLI
-    flags override — instead of requiring the caller to reproduce every
-    architecture flag of the original run (ADVICE r3 medium).
+    checkpoint will not restore under a knn-CPE config; an MI run's
+    checkpoint carries the loss discriminators' params), so eval / infer /
+    resume default the MODEL (and, for eval/infer, the LOSS) config from
+    the checkpoint itself and let CLI flags override — instead of
+    requiring the caller to reproduce every flag of the original run
+    (ADVICE r3 medium).
     """
     import json
     import os
@@ -69,7 +71,12 @@ def _ckpt_model_config(ckpt_path):
     if 'config' not in d:
         return None
     from .core.config import Config
-    return Config.from_json(d['config']).model
+    return Config.from_json(d['config'])
+
+
+def _ckpt_model_config(ckpt_path):
+    cfg = _ckpt_config(ckpt_path)
+    return None if cfg is None else cfg.model
 
 
 def _build_config(args, model_base=None):
@@ -204,7 +211,13 @@ def main(argv=None) -> int:
         from .eval.runner import evaluate, evaluate_icp_only
         from .train.loop import create_state, restore_checkpoint
         from .train.objective import RegistrationObjective
-        cfg = _build_config(args, model_base=_ckpt_model_config(args.ckpt))
+        saved = _ckpt_config(args.ckpt)
+        cfg = _build_config(args,
+                            model_base=None if saved is None else saved.model)
+        if saved is not None:
+            # the loss config shapes the parameter tree too (MI runs train
+            # discriminators); restore needs the checkpoint's own loss set
+            cfg = dataclasses.replace(cfg, loss=saved.loss)
         ds = load_dataset(cfg.data, 'test')
         if args.icp_only:
             out = evaluate_icp_only(
@@ -244,7 +257,11 @@ def main(argv=None) -> int:
             from .data.truckscenes import load_lidar_bin
             return load_lidar_bin(path)[0]
 
-        cfg = _build_config(args, model_base=_ckpt_model_config(args.ckpt))
+        saved = _ckpt_config(args.ckpt)
+        cfg = _build_config(args,
+                            model_base=None if saved is None else saved.model)
+        if saved is not None:
+            cfg = dataclasses.replace(cfg, loss=saved.loss)
         src, dst = load_cloud(args.src), load_cloud(args.dst)
         n = cfg.data.pcd_min_samples
         sample = {'uncalibed_pcd': np.zeros((1, n, 3), np.float32),

@@ -100,12 +100,15 @@ class RegistrationObjective(nn.Module):
 
         # --- deep MI -------------------------------------------------------
         if cfg.loss.mi:
-            if src.shape[0] < 2:
+            if train and src.shape[0] < 2:
                 # the "prime" negatives are a batch-roll (reference
                 # torch.randperm(B), `model_v6/layers.py:495-504`): at B=1
                 # both degenerate to pos==neg and the JSD bound is silently
                 # zero-information.  Reference MI scripts default bs=16
-                # (`train_reg_v6.py:40`).
+                # (`train_reg_v6.py:40`).  TRAINING refuses at trace time;
+                # eval/infer still run the module (its params are part of
+                # the checkpoint tree and the pose metrics ignore its
+                # degenerate-at-B=1 value).
                 raise ValueError(
                     'MI loss needs batch_size >= 2: its negatives are a '
                     'batch permutation, degenerate at B=1')

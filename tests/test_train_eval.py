@@ -88,8 +88,16 @@ class TestObjectiveAndStep:
         ds = load_dataset(cfg.data, 'train', length=2, points_per_cloud=256)
         batch = next(batch_iterator(ds, 1))
         obj = RegistrationObjective(cfg)
+        # init/eval at B=1 must SUCCEED (the discriminator params are part
+        # of the checkpoint tree, and infer runs single pairs) ...
+        state, tx = create_state(cfg, obj, batch, 1)
+        assert 'mi_loss' in state.params
+        # ... but TRAINING at B=1 refuses at trace time
+        from pcd_reg_hregnet_tpu.parallel.mesh import make_mesh, shard_batch
+        mesh = make_mesh(1)
+        step = make_train_step(obj, tx, mesh)
         with pytest.raises(ValueError, match='batch_size >= 2'):
-            create_state(cfg, obj, batch, 1)
+            step(state, shard_batch(batch, mesh))
 
     def test_eval_step_runs(self):
         cfg = small_experiment('reg_v0')

@@ -6,6 +6,12 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export STALL_SECS=600
 
+# A1 (reg_v6) eval — rerun here: the stage-C eval predated the CLI fix
+# that takes the LOSS config (MI discriminator param tree) from the ckpt
+timeout 1200 python -m pcd_reg_hregnet_tpu eval --dataset synthetic \
+    --batch-size 8 --ckpt runs/r4_v6/ckpt/best_rre \
+    --results results/v6_r4_eval.json
+
 # two-stage feature pretrain (reference scripts/train_man_keypt_detector.sh
 # -> train_man_descriptor.sh), shortened schedule
 tools/feats_retry.sh runs/r4_feats_det 3 --stage detector \
