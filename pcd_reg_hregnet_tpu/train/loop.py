@@ -133,9 +133,15 @@ def run_epoch(dataset, step, state, mesh, batch_size, *, train: bool,
         from ..parallel.distributed import process_local_batch_slice
         sl = process_local_batch_slice(batch_size)
     keys, sum_vec = None, None
+    # upload only what the objective reads: the loader also carries
+    # pcd_right / intensities / extrinsic (~40% of the batch bytes) which
+    # no loss consumes — on the tunnelled platform every uploaded byte
+    # also leaks host-side staging memory (~1 MB per executed op observed)
+    USED = ('uncalibed_pcd', 'pcd_left', 'igt')
     for batch in batch_iterator(dataset, batch_size, shuffle=shuffle,
                                 seed=seed, epoch=epoch,
                                 num_workers=num_workers, local_slice=sl):
+        batch = {k: v for k, v in batch.items() if k in USED}
         batch = shard_batch(batch, mesh)
         if train:
             state, metrics = step(state, batch)
