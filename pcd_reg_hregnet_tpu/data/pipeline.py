@@ -124,6 +124,23 @@ def apply_decalibration(pcd_right: np.ndarray, twist: np.ndarray) -> tuple[np.nd
     return pts.astype(np.float32), igt
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=('max_rot', 'max_trans', 'distribution',
+                                    'mag_randomly'))
+def _batched_igts(base_key, idx, max_rot, max_trans, distribution,
+                  mag_randomly):
+    """One compiled program for a whole epoch's decalibrations.
+
+    Module-level jit (was a fresh closure jit per epoch: each epoch paid a
+    remote re-compile, and compiled programs accumulate host-side)."""
+    keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(idx)
+    twists = jax.vmap(lambda k: perturbations.sample_twist(
+        k, max_rot, max_trans, distribution, mag_randomly))(keys)
+    return jax.vmap(se3.exp)(twists)
+
+
 class PairDataset:
     """Fixed-shape registration-pair dataset over a raw pair source.
 
@@ -182,17 +199,10 @@ class PairDataset:
         """
         n = len(self.source)
         base = jax.random.PRNGKey(self.seed)
-
-        @jax.jit
-        def batch(idx):
-            keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(idx)
-            twists = jax.vmap(lambda k: perturbations.sample_twist(
-                k, self.cfg.max_rot_error, self.cfg.max_trans_error,
-                self.cfg.distribution, self.cfg.mag_randomly))(keys)
-            return jax.vmap(se3.exp)(twists)
-
         idx = jnp.arange(epoch * n, (epoch + 1) * n, dtype=jnp.uint32)
-        return np.asarray(batch(idx), np.float32)
+        return np.asarray(_batched_igts(
+            base, idx, self.cfg.max_rot_error, self.cfg.max_trans_error,
+            self.cfg.distribution, self.cfg.mag_randomly), np.float32)
 
     def __len__(self) -> int:
         return len(self.source)
