@@ -163,6 +163,48 @@ class TestObjectiveAndStep:
             epochs = [int(float(r['epoch'])) for r in csv.DictReader(f)]
         assert epochs == [0, 1, 2]
 
+    def test_mi_checkpoint_eval_restore_uses_ckpt_loss_config(self, tmp_path):
+        """Regression for the round-4 chain failure: evaluating an MI
+        (reg_v6) checkpoint under the default experiment's loss config
+        built a restore target WITHOUT the discriminator params
+        (`params.mi_loss`, plus their optimizer moments) and orbax refused
+        the tree mismatch.  The eval/infer CLI now takes model AND loss
+        config from the checkpoint's meta.json (cli.py::_ckpt_config)."""
+        from pcd_reg_hregnet_tpu.cli import _ckpt_config
+
+        cfg6 = small_experiment('reg_v6')
+        ds, batch = make_batch(cfg6)
+        obj6 = RegistrationObjective(cfg6)
+        state6, _ = create_state(cfg6, obj6, batch, 1)
+        assert 'mi_loss' in state6.params
+        ckpt = save_checkpoint(str(tmp_path), 'best_rre', state6, cfg6, epoch=0)
+
+        saved = _ckpt_config(ckpt)
+        assert saved is not None and saved.loss.mi
+
+        # the CLI defaults to a non-MI experiment; only the model+loss
+        # replacement from the ckpt makes the restore target tree match
+        base = small_experiment('reg_v11')
+        cfg_eval = dataclasses.replace(base, model=saved.model,
+                                       loss=saved.loss,
+                                       data=cfg6.data)
+        obj = RegistrationObjective(cfg_eval)
+        state, _ = create_state(cfg_eval, obj, batch, 1)
+        restored = restore_checkpoint(ckpt, state)
+        assert 'mi_loss' in restored.params
+        a = jax.tree.leaves(state6.params['mi_loss'])
+        b = jax.tree.leaves(restored.params['mi_loss'])
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+        # without the loss substitution the target tree lacks mi_loss and
+        # restore must fail loudly (never silently drop the discriminators)
+        cfg_bad = dataclasses.replace(base, model=saved.model, data=cfg6.data)
+        obj_bad = RegistrationObjective(cfg_bad)
+        state_bad, _ = create_state(cfg_bad, obj_bad, batch, 1)
+        assert 'mi_loss' not in state_bad.params
+        with pytest.raises(ValueError):
+            restore_checkpoint(ckpt, state_bad)
+
     def test_checkpoint_roundtrip(self, tmp_path):
         cfg = small_experiment('reg_v0')
         ds, batch = make_batch(cfg)
