@@ -3,14 +3,22 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-The reference publishes no throughput (its timing code is commented out,
-`/root/reference/test/test_v3.py:116-126`), so `vs_baseline` is the
-measured value divided by REFERENCE_PAIRS_PER_SEC_ESTIMATE — a
-conservative envelope estimate for Model_V6 inference at bs=1 on the
-reference's single GPU (dual 8096-point feature towers + PTv3 blocks);
-the JSON carries `baseline_note` making the provenance explicit.
+Trustworthiness (VERDICT r4 weak #1 / next-step #1b): every rate is the
+median of 3 independent timing windows; per-metric spread
+((max-min)/median) is reported, and `unstable: true` is set (with a
+stderr warning) when any spread exceeds 20% — so chip contention or
+tunnel variance shows up as a flag instead of a silently wrong number
+(BENCH_r04 was recorded while a training chain time-shared the chip).
 
-Extra fields (VERDICT r1 next-step #4):
+`vs_baseline` (VERDICT r4 #9): the reference publishes no throughput
+(its timing code is commented out, `/root/reference/test/test_v3.py:
+116-126`) and its recipe is bs=1 (`scripts/train_man_registration.sh`),
+so the denominator is the *measured in-session* bs=1 f32 forward — the
+reference-recipe rate on this same chip; measured / measured.  The old
+invented 10 pairs/s envelope is kept as `vs_envelope_estimate` for
+cross-round continuity.
+
+Extra fields:
   * `train_pairs_per_sec` — full reg_v11 train step (fwd+bwd+AdamW);
   * `mfu` — model FLOPs utilisation of the train step: XLA-counted
     FLOPs / wall time / chip peak (f32 peak on the MXU);
@@ -33,22 +41,25 @@ from functools import partial
 
 REFERENCE_PAIRS_PER_SEC_ESTIMATE = 10.0
 BATCH = 8          # measured single-chip throughput sweet spot on v5e
-                   # (B=4: 469, B=8: 553-585 run-to-run, B=16: 508, B=32: 478)
 N_POINTS = 8096
-ITERS = 40
-
-# v5e peak: 197 TFLOP/s bf16; XLA runs f32 matmuls on the MXU at half
-# that.  MFU below uses the dtype-matched peak.
-PEAK_FLOPS = {'float32': 98.5e12, 'bfloat16': 197e12}
+WINDOWS = 3
+ITERS = 30
+SPREAD_LIMIT = 0.20
 
 
-def _timeit(fn, *args, iters=ITERS):
+def _rate_windows(fn, batch, *args):
+    """Median-of-WINDOWS (pairs/s, spread) for a host-synced callable."""
     import numpy as np
     np.asarray(fn(*args))              # warmup/compile + real host sync
-    t0 = time.perf_counter()
-    out = [fn(*args) for _ in range(iters)]
-    np.asarray(out[-1])
-    return (time.perf_counter() - t0) / iters
+    rates = []
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        out = [fn(*args) for _ in range(ITERS)]
+        np.asarray(out[-1])
+        rates.append(batch * ITERS / (time.perf_counter() - t0))
+    rates.sort()
+    med = rates[len(rates) // 2]
+    return med, (rates[-1] - rates[0]) / med
 
 
 def _flops_of(jitted, *args) -> float:
@@ -62,6 +73,11 @@ def _flops_of(jitted, *args) -> float:
         return 0.0
 
 
+# v5e peak: 197 TFLOP/s bf16; XLA runs f32 matmuls on the MXU at half
+# that.  MFU below uses the dtype-matched peak.
+PEAK_FLOPS = {'float32': 98.5e12, 'bfloat16': 197e12}
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -70,12 +86,18 @@ def main() -> None:
     from pcd_reg_hregnet_tpu.models import build
 
     key = jax.random.PRNGKey(0)
-    src = jax.random.uniform(key, (BATCH, N_POINTS, 3), minval=-40.0, maxval=40.0)
-    dst = jax.random.uniform(jax.random.fold_in(key, 1), (BATCH, N_POINTS, 3),
-                             minval=-40.0, maxval=40.0)
 
-    def forward_rate(dtype):
+    def make_clouds(batch):
+        src = jax.random.uniform(key, (batch, N_POINTS, 3),
+                                 minval=-40.0, maxval=40.0)
+        dst = jax.random.uniform(jax.random.fold_in(key, 1),
+                                 (batch, N_POINTS, 3),
+                                 minval=-40.0, maxval=40.0)
+        return src, dst
+
+    def forward_rate(dtype, batch):
         model = build('model_v6', compute_dtype=dtype)
+        src, dst = make_clouds(batch)
         variables = jax.jit(partial(model.init, train=False))(
             jax.random.PRNGKey(1), src, dst)
 
@@ -86,11 +108,14 @@ def main() -> None:
             # invites XLA to DCE the other batch items' work, a sum cannot
             return out['rotation'][-1].sum() + out['translation'][-1].sum()
 
-        dt = _timeit(forward, src, dst)
-        return BATCH / dt, _flops_of(forward, src, dst) / dt
+        rate, spread = _rate_windows(forward, batch, src, dst)
+        return rate, spread, _flops_of(forward, src, dst) * rate / batch
 
-    pairs_per_sec, fwd_flops_rate = forward_rate('float32')
-    pairs_per_sec_bf16, _ = forward_rate('bfloat16')
+    spreads = {}
+    pairs_per_sec, spreads['forward'], fwd_flops_rate = forward_rate('float32', BATCH)
+    pairs_per_sec_bf16, spreads['forward_bf16'], _ = forward_rate('bfloat16', BATCH)
+    # measured vs_baseline denominator: the reference-recipe bs=1 forward
+    bs1_rate, spreads['forward_bs1'], _ = forward_rate('float32', 1)
 
     # --- train step (reg_v11 recipe: fwd + bwd + AdamW/OneCycle) ----------
     from pcd_reg_hregnet_tpu.data import batch_iterator, load_dataset
@@ -113,38 +138,47 @@ def main() -> None:
 
     train_flops = _flops_of(step, state, sb)
 
-    def train_once(s):
-        new_s, metrics = step(s, sb)
-        return new_s, metrics['loss']
+    holder = {'state': state}
 
-    state, _ = train_once(state)       # warmup/compile
-    np_ = np
-    np_.asarray(_)
-    t0 = time.perf_counter()
-    iters = 20
-    for _ in range(iters):
-        state, loss = train_once(state)
-    np_.asarray(loss)
-    train_dt = (time.perf_counter() - t0) / iters
-    train_pairs_per_sec = BATCH / train_dt
+    def train_once():
+        holder['state'], metrics = step(holder['state'], sb)
+        return metrics['loss']
+
+    train_pairs_per_sec, spreads['train'] = _rate_windows(train_once, BATCH)
+    train_dt = BATCH / train_pairs_per_sec
 
     peak = PEAK_FLOPS['float32']
     mfu = (train_flops / train_dt) / peak if train_flops else 0.0
     mfu_fwd = fwd_flops_rate / peak
 
+    unstable = {k: round(v, 4) for k, v in spreads.items() if v > SPREAD_LIMIT}
+    if unstable:
+        print(f'bench: UNSTABLE measurement, window spread >{SPREAD_LIMIT:.0%} '
+              f'in {unstable} — another process is likely time-sharing the '
+              f'chip; numbers below are the medians but should not be '
+              f'compared across rounds', file=sys.stderr)
+
     print(json.dumps({
         'metric': 'registration_pairs_per_sec_single_chip',
         'value': round(pairs_per_sec, 3),
         'unit': 'pairs/s',
-        'vs_baseline': round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_ESTIMATE, 3),
-        'baseline_note': ('reference publishes no throughput; baseline is a '
-                          '10 pairs/s single-GPU envelope estimate'),
+        'vs_baseline': round(pairs_per_sec / bs1_rate, 3),
+        'baseline_note': ('measured/measured: denominator is the in-session '
+                          'bs=1 f32 forward (reference recipe is bs=1; it '
+                          'publishes no throughput of its own)'),
+        'reference_bs1_pairs_per_sec': round(bs1_rate, 3),
+        'vs_envelope_estimate': round(
+            pairs_per_sec / REFERENCE_PAIRS_PER_SEC_ESTIMATE, 3),
         'pairs_per_sec_bf16': round(pairs_per_sec_bf16, 3),
         'train_pairs_per_sec': round(train_pairs_per_sec, 3),
         'train_step_ms': round(train_dt * 1e3, 2),
         'mfu': round(mfu, 4),
         'mfu_forward': round(mfu_fwd, 4),
         'batch': BATCH,
+        'windows': WINDOWS,
+        'iters_per_window': ITERS,
+        'spread': {k: round(v, 4) for k, v in spreads.items()},
+        'unstable': bool(unstable),
         'backend': __import__('jax').default_backend(),
     }))
 
@@ -158,7 +192,6 @@ def scaling() -> None:
     the partitioned HLO — per-device FLOPs must scale ~1/N and the
     gradient all-reduces must be present with an N-independent count.
     Prints one JSON line; also writes results/scaling_proxy.json."""
-    import jax
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), 'tools'))
     import scaling_proxy

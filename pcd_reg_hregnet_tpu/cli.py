@@ -154,6 +154,10 @@ def main(argv=None) -> int:
                         help='classical ICP from identity, no network '
                              '(reference README ICP-only rows)')
     p_eval.add_argument('--icp-iters', type=int, default=None)
+    p_eval.add_argument('--seq-parallel', type=int, default=0,
+                        help='shard the PTv3 serialized point axis over N '
+                             'devices (GSPMD sequence parallelism; results '
+                             'identical to the unsharded path)')
     p_eval.add_argument('--results', default='results/results.json')
 
     p_feats = sub.add_parser('pretrain-feats', help='detector/descriptor pretrain')
@@ -234,7 +238,7 @@ def main(argv=None) -> int:
         state, _ = create_state(cfg, objective, sample, 1)
         state = restore_checkpoint(args.ckpt, state)
         out = evaluate(cfg, state, icp=args.icp, results_path=args.results,
-                       dataset=ds)
+                       dataset=ds, seq_parallel=args.seq_parallel)
         print(out['summary'])
         return 0
 

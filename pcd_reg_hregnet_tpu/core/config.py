@@ -62,12 +62,25 @@ class ModelConfig:
     ptv3_cpe: str = 'knn'
     # dtype of the compute path ('bfloat16' activations are the TPU default)
     compute_dtype: str = 'float32'
+    # Sequence parallelism (SURVEY.md §5.7): when set (e.g. 'seq'), the
+    # PTv3 encoders constrain their serialized activations to shard on
+    # this mesh axis — activated by `evaluate(..., seq_parallel=N)` /
+    # `--seq-parallel N`, which enter `parallel.sequence.sequence_mesh`.
+    seq_axis: Optional[str] = None
     # Run the src/dst feature towers as ONE 2B-batch call in TRAIN mode
     # too (eval always fuses — bit-identical there).  Saves the second
     # sequential FPS/kNN chain per step; deviation: BatchNorm batch
     # statistics are then computed jointly over both clouds instead of
     # per cloud (the reference runs two sequential forwards).
     fuse_towers_train: bool = False
+    # Fuse the towers in EVAL mode (bit-identical there: eval BatchNorm
+    # uses running stats, every other op is per-example).  Default OFF:
+    # the r5 A/B (results/ab_bench_r5.json, results/bench_regression_r5.md)
+    # measured the fused program at 81 pairs/s vs 312 unfused at f32/B=8 —
+    # identical XLA-counted FLOPs, but the downstream consumers of the
+    # [:B]/[B:] slices compile ~26x slower (fusion/layout pathology), and
+    # even tower-only the two-call form is faster (43.8/s vs 37.7/s).
+    fuse_towers_eval: bool = False
 
 
 @dataclass(frozen=True)

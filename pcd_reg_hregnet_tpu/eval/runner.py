@@ -29,7 +29,7 @@ from .icp import estimate_normals, icp_point_to_plane, icp_point_to_point
 def evaluate(cfg: Config, state: TrainState, *, split: str = 'test',
              icp: Optional[str] = None, icp_threshold: float = 1.0,
              icp_iters: int = 30, results_path: Optional[str] = None,
-             dataset=None, mesh=None,
+             dataset=None, mesh=None, seq_parallel: int = 0,
              recall_rot_deg: float = 1.0, recall_trans_m: float = 0.1) -> Dict:
     """Run the model over a split; returns the combined results dict.
 
@@ -39,7 +39,41 @@ def evaluate(cfg: Config, state: TrainState, *, split: str = 'test',
     declares but never enables recall, `calibeval.py:108-114`; 1 deg /
     0.1 m are this framework's defaults — tight enough that only
     converged registrations count).
+    `seq_parallel > 1` (VERDICT r4 #10) routes the PTv3 encoders through
+    GSPMD sequence sharding over the first N devices: the serialized point
+    axis shards, patch attention stays communication-free, results are
+    identical to the unsharded path (tested).  Batch stays unsharded.
     """
+    import contextlib
+    seq_ctx = contextlib.nullcontext()
+    if seq_parallel and seq_parallel > 1:
+        import dataclasses
+        import numpy as _np
+        from jax.sharding import Mesh
+        from ..parallel.sequence import check_patch_alignment, sequence_mesh
+        if cfg.model.backbone != 'ptv3':
+            raise ValueError('--seq-parallel requires the ptv3 backbone '
+                             f'(model is {cfg.model.backbone!r})')
+        for i, lvl in enumerate(cfg.model.levels):
+            check_patch_alignment(lvl.nsample,
+                                  cfg.model.ptv3_patch_sizes[i], seq_parallel)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, seq_axis='seq'))
+        seq_ctx = sequence_mesh(
+            Mesh(_np.asarray(jax.devices()[:seq_parallel]), ('seq',)))
+        mesh = make_mesh(1)   # batch replicated; one mesh per program
+
+    with seq_ctx:
+        return _evaluate_inner(
+            cfg, state, split=split, icp=icp, icp_threshold=icp_threshold,
+            icp_iters=icp_iters, results_path=results_path, dataset=dataset,
+            mesh=mesh, recall_rot_deg=recall_rot_deg,
+            recall_trans_m=recall_trans_m)
+
+
+def _evaluate_inner(cfg: Config, state: TrainState, *, split, icp,
+                    icp_threshold, icp_iters, results_path, dataset, mesh,
+                    recall_rot_deg, recall_trans_m) -> Dict:
     ds = dataset if dataset is not None else load_dataset(cfg.data, split)
     import math
     bs = cfg.data.batch_size

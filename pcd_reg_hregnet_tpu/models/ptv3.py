@@ -406,9 +406,16 @@ class PointTransformerEncoder(nn.Module):
     cpe: str = 'curve'
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # Sequence parallelism: shard the serialized N axis on this mesh axis
+    # (binds to `parallel.sequence.sequence_mesh`'s active mesh at trace
+    # time; no-op outside that context).  Patch attention then runs
+    # communication-free (shard size must be a patch multiple); XLA
+    # inserts halo collectives for the serialized convs.
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, xyz, feat, train: bool = False):
+        from ..parallel.sequence import seq_constrain
         if xyz.shape[1] % min(self.patch_size, xyz.shape[1]) != 0:
             raise ValueError(
                 f'PointTransformerEncoder patch_size={self.patch_size} must '
@@ -416,6 +423,7 @@ class PointTransformerEncoder(nn.Module):
                 f'(ModelConfig.ptv3_patch_sizes vs levels[i].nsample)')
         order, inverse = serialization.serialize(xyz, self.grid_size, 'z')
         x = jnp.take_along_axis(feat, order[..., None], axis=1)
+        x = seq_constrain(x, self.seq_axis)
 
         nbr_idx = rel = None
         if self.cpe == 'knn':
@@ -423,6 +431,8 @@ class PointTransformerEncoder(nn.Module):
             # cloud, so indices are already in-frame) shared by every CPE
             xyz_s = jnp.take_along_axis(xyz, order[..., None], axis=1)
             nbr_idx, rel = cpe_neighbors(xyz_s)
+            nbr_idx = seq_constrain(nbr_idx, self.seq_axis)
+            rel = seq_constrain(rel, self.seq_axis)
 
         # Embedding stem (`ptv3.py:760-795`): serialized conv + norm + GELU.
         # Norm dtype policy: f32 batch statistics in train; frozen-affine
@@ -449,5 +459,6 @@ class PointTransformerEncoder(nn.Module):
                 x = PTv3Block(self.channels, self.num_heads[s],
                               self.patch_size, self.mlp_ratio, cpe=self.cpe,
                               dtype=self.dtype)(x, nbr_idx, rel, train)
+                x = seq_constrain(x, self.seq_axis)
 
         return jnp.take_along_axis(x, inverse[..., None], axis=1)

@@ -54,7 +54,7 @@ class HierFeatureExtraction(nn.Module):
                     num_heads=cfg.ptv3_num_heads,
                     patch_size=cfg.ptv3_patch_sizes[i],
                     mlp_ratio=cfg.ptv3_mlp_ratio, grid_size=cfg.ptv3_grid_size,
-                    cpe=cfg.ptv3_cpe,
+                    cpe=cfg.ptv3_cpe, seq_axis=cfg.seq_axis,
                     axis_name=self.axis_name, dtype=dtype, name=f'ptv3_{i + 1}')
                 desc = enc(xyz, att_feat, train)
             else:
@@ -89,7 +89,8 @@ class RegistrationModel(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype != 'float32' else None
         feat_net = HierFeatureExtraction(cfg, axis_name=self.axis_name,
                                          name='feature_extraction')
-        if train and not cfg.fuse_towers_train:
+        fuse = cfg.fuse_towers_train if train else cfg.fuse_towers_eval
+        if not fuse:
             # two tower calls: BatchNorm batch statistics are computed per
             # cloud, matching the reference's sequential forward passes
             # (`model_v6/models.py:141-142`).  `fuse_towers_train=True`
@@ -98,12 +99,12 @@ class RegistrationModel(nn.Module):
             src = feat_net(src_points, train)
             dst = feat_net(dst_points, train)
         else:
-            # eval: ONE fused 2B-batch tower call.  Bit-identical outputs
-            # (eval BatchNorm uses running stats, every other op is
-            # per-example), but the inherently latency-bound sequential
-            # parts — the FPS fori_loops, kNN top-k chains — run once over
-            # a 2B batch instead of twice back-to-back, and every matmul
-            # fills the MXU better.
+            # ONE fused 2B-batch tower call.  Bit-identical in eval (BN
+            # uses running stats, every other op is per-example) but
+            # measured SLOWER than two calls on v5e — 81 vs 312 pairs/s at
+            # f32/B=8 with identical XLA-counted FLOPs: the downstream
+            # consumers of the [:B]/[B:] slices hit a fusion/layout
+            # pathology (results/bench_regression_r5.md).  Opt-in knob.
             B = src_points.shape[0]
             both = feat_net(
                 jnp.concatenate([src_points, dst_points], axis=0), train)

@@ -27,6 +27,7 @@ Two interchangeable implementations (tested equal):
 """
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 from typing import Optional
 
@@ -38,6 +39,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def sequence_sharding(mesh: Mesh, axis: str = 'seq') -> NamedSharding:
     """[B, N, C] arrays sharded on the serialized (N) axis."""
     return NamedSharding(mesh, P(None, axis, None))
+
+
+# --- user-facing wiring (VERDICT r4 #10) --------------------------------
+# `evaluate(..., seq_parallel=N)` / `--seq-parallel N` route the PTv3
+# encoder through GSPMD sequence sharding *inside* the production forward:
+# the encoder (models/ptv3.py) places with_sharding_constraint on its
+# serialized activations when ModelConfig.seq_axis is set, binding to the
+# mesh made active here.  The constraints bind at TRACE time — enter this
+# context before the first jitted call.
+_ACTIVE_SEQ_MESH: list = []
+
+
+@contextlib.contextmanager
+def sequence_mesh(mesh: Mesh):
+    """Make `mesh` the binding target for model-internal sequence-sharding
+    constraints (`ModelConfig.seq_axis`) for the duration of the block."""
+    _ACTIVE_SEQ_MESH.append(mesh)
+    try:
+        yield mesh
+    finally:
+        _ACTIVE_SEQ_MESH.pop()
+
+
+def active_sequence_mesh() -> Optional[Mesh]:
+    return _ACTIVE_SEQ_MESH[-1] if _ACTIVE_SEQ_MESH else None
+
+
+def seq_constrain(x: jnp.ndarray, axis: Optional[str]) -> jnp.ndarray:
+    """Constrain dim 1 (the serialized N axis) of `x` to shard over the
+    active sequence mesh; identity when no axis/mesh is configured."""
+    mesh = active_sequence_mesh()
+    if axis is None or mesh is None:
+        return x
+    spec = P(None, axis, *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def check_patch_alignment(n_points: int, patch_size: int, n_shards: int) -> None:

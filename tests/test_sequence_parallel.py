@@ -84,3 +84,68 @@ class TestGSPMDSequenceApply:
         with pytest.raises(ValueError, match='patch_size'):
             gspmd_sequence_apply(block, variables, x, seq_mesh(4),
                                  patch_size=128)   # shard 64 < patch 128
+
+
+class TestUserFacingSeqParallel:
+    """VERDICT r4 #10: the --seq-parallel capability — the PTv3 encoder
+    routed through GSPMD sequence sharding inside the production paths."""
+
+    def test_encoder_seq_axis_matches_unsharded(self):
+        # production L1 shapes: N=1024, C=64, patch 256, knn CPE
+        from pcd_reg_hregnet_tpu.models.ptv3 import PointTransformerEncoder
+        from pcd_reg_hregnet_tpu.parallel.sequence import sequence_mesh
+
+        key = jax.random.PRNGKey(0)
+        xyz = jax.random.uniform(key, (1, 1024, 3), minval=-40., maxval=40.)
+        feat = jax.random.normal(jax.random.fold_in(key, 1), (1, 1024, 64))
+
+        kw = dict(channels=64, depths=(2,), num_heads=(2,),
+                  patch_size=256, cpe='knn')
+        enc = PointTransformerEncoder(**kw)
+        enc_sp = PointTransformerEncoder(**kw, seq_axis='seq')
+        v = enc.init(jax.random.PRNGKey(1), xyz, feat)
+        want = np.asarray(jax.jit(enc.apply)(v, xyz, feat))
+
+        with sequence_mesh(seq_mesh(4)):
+            got = jax.jit(enc_sp.apply)(v, xyz, feat)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+    def test_evaluate_seq_parallel_matches(self, tmp_path):
+        # the full eval runner: --seq-parallel 2 must reproduce the
+        # unsharded summary on a tiny model_v6 config
+        import dataclasses
+        from pcd_reg_hregnet_tpu.data import batch_iterator, load_dataset
+        from pcd_reg_hregnet_tpu.eval.runner import evaluate
+        from pcd_reg_hregnet_tpu.core.config import LevelConfig
+        from pcd_reg_hregnet_tpu.train import (RegistrationObjective,
+                                               create_state, experiment)
+
+        cfg = experiment('reg_v11')
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                levels=(LevelConfig(64, 16, (16, 16, 32), 32),
+                        LevelConfig(32, 8, (32, 32, 64), 64),
+                        LevelConfig(16, 8, (64, 64, 128), 128)),
+                ptv3_patch_sizes=(16, 16, 8), ptv3_depths=(1,),
+                ptv3_num_heads=(2,)),
+            data=dataclasses.replace(cfg.data, dataset='synthetic',
+                                     pcd_min_samples=128, batch_size=2))
+        ds = load_dataset(cfg.data, 'test', length=2, points_per_cloud=256)
+        batch = next(batch_iterator(ds, 2))
+        obj = RegistrationObjective(cfg)
+        state, _ = create_state(cfg, obj, batch, 1)
+
+        base = evaluate(cfg, state, dataset=ds)
+        sharded = evaluate(cfg, state, dataset=ds, seq_parallel=2)
+        for k, v in base['summary'].items():
+            assert np.isclose(sharded['summary'][k], v, rtol=1e-4, atol=1e-5), k
+
+    def test_evaluate_seq_parallel_rejects_conv_backbone(self):
+        import dataclasses
+        from pcd_reg_hregnet_tpu.eval.runner import evaluate
+        from pcd_reg_hregnet_tpu.train import experiment
+        cfg = experiment('reg_v0')
+        with pytest.raises(ValueError, match='ptv3'):
+            evaluate(cfg, None, dataset=[], seq_parallel=2)

@@ -18,7 +18,7 @@ tools/train_retry.sh runs/r4_v11_full 5 --experiment reg_v11 --dataset synthetic
     --batch-size 8 --epochs 60
 
 git add -f runs/r4_v11_full/metrics.csv runs/r4_v11_full/config.json 2>/dev/null
-git commit -m "flagship retrain complete (r4_v11_full, 100-epoch schedule)" || true
+git commit -m "flagship retrain complete (r4_v11_full, 60-epoch schedule)" || true
 
 mkdir -p ckpts
 tar czf ckpts/r4_v11_full_best_rre.tar.gz -C runs/r4_v11_full/ckpt best_rre \
