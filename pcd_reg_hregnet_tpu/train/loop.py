@@ -324,16 +324,24 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
             'trans_err': np.mean([val_metrics.get(f'trans_err_{a}', np.inf)
                                   for a in 'xyz']),
         }
+        # Materialise the state to host ONCE per epoch and share it across
+        # every checkpoint written this epoch: on a tunnelled chip each
+        # device->host readback of the ~130 MB tree costs ~10 s, and early
+        # epochs improve several best metrics at once (measured 75 s/epoch
+        # of pure checkpoint transfer at 7 saves/epoch, vs 17 s of train).
+        host_state = jax.tree.map(np.asarray, {
+            'params': state.params, 'batch_stats': state.batch_stats,
+            'opt_state': state.opt_state, 'step': state.step})
         for name, value in tracked.items():
             if value < best[name]:
                 best[name] = value
                 save_checkpoint(os.path.join(log_dir, cfg.train.ckpt_dir),
-                                f'best_{name}', state, cfg, epoch)
+                                f'best_{name}', host_state, cfg, epoch)
         # rolling 'last' checkpoint every epoch: preemption resume continues
         # from the interrupt epoch, never replaying back to the last best
         # (VERDICT r2 #5); carries the best-metric watermarks for restore
         save_checkpoint(os.path.join(log_dir, cfg.train.ckpt_dir), 'last',
-                        state, cfg, epoch,
+                        host_state, cfg, epoch,
                         extra={'best': {k: float(v) for k, v in best.items()}})
 
         if max_steps is not None and total_steps >= max_steps:
@@ -362,18 +370,22 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return max(candidates)[1] if candidates else None
 
 
-def save_checkpoint(ckpt_dir: str, name: str, state: TrainState,
+def save_checkpoint(ckpt_dir: str, name: str, state,
                     cfg: Config, epoch: int,
                     extra: Optional[Dict] = None) -> str:
     """Orbax checkpoint with optimizer + schedule step + epoch (the
     reference saves the same dict, `train_reg_v11.py:476-480`).  `extra`
-    is merged into meta.json (e.g. best-metric watermarks)."""
+    is merged into meta.json (e.g. best-metric watermarks).  `state` is a
+    TrainState or an already-host-materialised dict (the train loop pulls
+    the tree off the device once per epoch and shares it across saves)."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(ckpt_dir, name))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.tree.map(np.asarray, {
-        'params': state.params, 'batch_stats': state.batch_stats,
-        'opt_state': state.opt_state, 'step': state.step}), force=True)
+    if not isinstance(state, dict):
+        state = jax.tree.map(np.asarray, {
+            'params': state.params, 'batch_stats': state.batch_stats,
+            'opt_state': state.opt_state, 'step': state.step})
+    ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
     meta = {'epoch': epoch, 'config': cfg.to_json()}
     if extra:
