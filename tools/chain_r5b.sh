@@ -1,13 +1,17 @@
 #!/bin/bash
-# Round-5 follow-on chain: exercise the remaining never-trained presets
-# (VERDICT r4 §2.3: "reg_v9/v10/regression-head variants never trained
-# beyond smoke" — reg_v9 is in chain_r5a; this adds reg_v10 (V5
-# attention model) and reg_v7 (regression head + Tf+Ch+MI)), then
-# re-records the in-session bench on the now-idle chip (the first r5
-# record's bf16/bs1 arms were contaminated by a stray round-4 trainer).
+# Round-5 follow-on chain (runs after chain_r5a exits; shares its absolute
+# deadline so the chip is free when the driver runs bench.py).
 #
-# Launched by a watcher after chain_r5a exits; shares its absolute
-# deadline so the chip is free when the driver runs bench.py.
+#   1. cpe=curve arm through a COMPLETE 60-epoch OneCycle schedule + test
+#      eval (VERDICT r4 #5).  60 epochs is what the remaining wall fits; a
+#      finished 60-ep schedule beats a truncated 100-ep one (the accuracy
+#      of this model concentrates in the LR-anneal tail).  The knn
+#      flagship arm is a 100-ep schedule - the schedule-length mismatch is
+#      documented in the README CPE verdict (ADVICE r4 #2 discipline).
+#   2./3. never-trained presets reg_v10 (V5 attention) / reg_v7
+#      (regression head) 20ep + eval (VERDICT r4 SS2.3), if time remains.
+#   4. clean-chip bench re-record (the first r5 record's bf16/bs1 arms
+#      were contaminated by a stray round-4 trainer).
 set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -22,23 +26,49 @@ commit_stage() {
     git commit -m "$msg" || true
 }
 
+save_ckpt() {  # split-commit <100MB parts (GitHub file limit, ADVICE r4)
+    local run="$1" sub="$2" out
+    out="ckpts/$(basename "$run")_${sub//\//_}.tar.gz"
+    mkdir -p ckpts
+    [ -d "$run/ckpt/$sub" ] || return 0
+    tar czf "$out" -C "$run/ckpt" "$sub"
+    if [ "$(stat -c %s "$out")" -lt 99000000 ]; then
+        git add -f "$out" && git commit -m "ckpt tarball: $(basename "$run")/$sub" || true
+    else
+        split -b 95M -d "$out" "$out.part."
+        rm -f "$out"
+        git add -f "$out".part.* && git commit -m "ckpt tarball (split): $(basename "$run")/$sub" || true
+    fi
+}
+
 run_eval() {
     local ckpt="$1" json="$2"; shift 2
     timeout 1800 python -m pcd_reg_hregnet_tpu eval --dataset synthetic \
         --batch-size 8 --ckpt "$ckpt" --results "$json" "$@"
 }
 
-if have_time 1500; then
-    tools/train_retry.sh runs/r5_v10 3 --experiment reg_v10 --dataset synthetic \
+# ---- 1. CPE verdict: complete 60-epoch cpe=curve schedule ----
+if have_time 2100; then
+    tools/train_retry.sh runs/r5_v11_curve 3 --experiment reg_v11 --dataset synthetic \
+        --batch-size 8 --epochs 60 --ptv3-cpe curve
+    commit_stage "CPE verdict: complete 60-epoch cpe=curve schedule (VERDICT r4 #5)" \
+        runs/r5_v11_curve/metrics.csv runs/r5_v11_curve/config.json
+    save_ckpt runs/r5_v11_curve best_rre
+    run_eval runs/r5_v11_curve/ckpt/best_rre results/v11_r5_curve_eval.json || true
+    commit_stage "CPE verdict: curve-arm test eval" results/v11_r5_curve_eval.json
+fi
+
+# ---- 2./3. never-trained presets ----
+if have_time 1300; then
+    tools/train_retry.sh runs/r5_v10 2 --experiment reg_v10 --dataset synthetic \
         --batch-size 8 --epochs 20
     commit_stage "reg_v10 (V5 attention model) 20ep hardware run" \
         runs/r5_v10/metrics.csv runs/r5_v10/config.json
     run_eval runs/r5_v10/ckpt/best_rre results/v10_r5_eval.json || true
     commit_stage "reg_v10 test eval" results/v10_r5_eval.json
 fi
-
-if have_time 1500; then
-    tools/train_retry.sh runs/r5_v7 3 --experiment reg_v7 --dataset synthetic \
+if have_time 1300; then
+    tools/train_retry.sh runs/r5_v7 2 --experiment reg_v7 --dataset synthetic \
         --batch-size 8 --epochs 20
     commit_stage "reg_v7 (regression head, Tf+Ch+MI) 20ep hardware run" \
         runs/r5_v7/metrics.csv runs/r5_v7/config.json
@@ -46,8 +76,8 @@ if have_time 1500; then
     commit_stage "reg_v7 test eval" results/v7_r5_eval.json
 fi
 
-# clean-chip bench re-record (median-of-3 + spread; expect unstable=false)
-if have_time 900; then
+# ---- 4. clean-chip bench re-record ----
+if have_time 700; then
     timeout 1500 python bench.py > results/bench_r5_insession.json \
         2> results/bench_r5_insession.err || true
     commit_stage "clean-chip in-session bench record (median-of-3, spread)" \
