@@ -263,6 +263,7 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
     eval_step = make_eval_step(objective, mesh)
 
     val_metrics: Dict[str, float] = {}
+    fetcher = None                # built at first checkpoint (stable tree)
     # count from the RESTORED step so a resumed run respects max_steps
     # (0-init let a resume whose budget was already exhausted train up to
     # max_steps additional batches — ADVICE r3 low)
@@ -324,14 +325,15 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
             'trans_err': np.mean([val_metrics.get(f'trans_err_{a}', np.inf)
                                   for a in 'xyz']),
         }
-        # Materialise the state to host ONCE per epoch and share it across
-        # every checkpoint written this epoch: on a tunnelled chip each
-        # device->host readback of the ~130 MB tree costs ~10 s, and early
-        # epochs improve several best metrics at once (measured 75 s/epoch
-        # of pure checkpoint transfer at 7 saves/epoch, vs 17 s of train).
-        host_state = jax.tree.map(np.asarray, {
-            'params': state.params, 'batch_stats': state.batch_stats,
-            'opt_state': state.opt_state, 'step': state.step})
+        # Materialise the state to host ONCE per epoch (shared across every
+        # checkpoint written this epoch) via the dtype-packed fetcher: the
+        # naive per-leaf readback pays one tunnel round-trip per leaf
+        # (~58 s/epoch measured on the ~500-leaf flagship state).
+        state_dict = {'params': state.params, 'batch_stats': state.batch_stats,
+                      'opt_state': state.opt_state, 'step': state.step}
+        if fetcher is None:
+            fetcher = TreeFetcher(state_dict)
+        host_state = fetcher(state_dict)
         for name, value in tracked.items():
             if value < best[name]:
                 best[name] = value
@@ -349,6 +351,46 @@ def fit(cfg: Config, *, log_dir: str = 'runs', max_steps: Optional[int] = None,
 
     logger.close()
     return state, val_metrics
+
+
+class TreeFetcher:
+    """Device->host fetch of a pytree as ONE transfer per dtype.
+
+    `jax.tree.map(np.asarray, tree)` issues one synchronous transfer per
+    leaf; on a tunnelled chip each transfer pays network round-trip
+    latency, so a ~500-leaf train state costs ~1 min/epoch of pure
+    latency (measured: 58 s of the flagship's 80 s epoch).  Packing all
+    same-dtype leaves into one device-side concatenation turns that into
+    2-3 bandwidth-bound transfers; leaves are split/reshaped host-side.
+    Build once per (stable) tree structure and reuse.
+    """
+
+    def __init__(self, example_tree):
+        leaves, self.treedef = jax.tree.flatten(example_tree)
+        self.shapes = [jnp.shape(l) for l in leaves]
+        self.sizes = [int(np.prod(s)) for s in self.shapes]
+        self.groups = {}          # dtype str -> leaf indices, insertion order
+        for i, l in enumerate(leaves):
+            self.groups.setdefault(str(jnp.asarray(l).dtype), []).append(i)
+        group_items = list(self.groups.items())
+
+        def pack(tree):
+            ls = jax.tree.leaves(tree)
+            return tuple(
+                jnp.concatenate([jnp.ravel(ls[i]) for i in idxs])
+                for _, idxs in group_items)
+
+        self._pack = jax.jit(pack)
+
+    def __call__(self, tree):
+        host = [np.asarray(buf) for buf in self._pack(tree)]
+        out = [None] * len(self.shapes)
+        for buf, (_, idxs) in zip(host, self.groups.items()):
+            off = 0
+            for i in idxs:
+                out[i] = buf[off:off + self.sizes[i]].reshape(self.shapes[i])
+                off += self.sizes[i]
+        return jax.tree.unflatten(self.treedef, out)
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -447,3 +447,25 @@ class TestResumeContinuesEpochs:
         with open(f'{log_dir}/metrics.csv') as f:
             rows = list(_csv.DictReader(f))
         assert [r['epoch'] for r in rows] == ['0', '1', '2']
+
+
+class TestTreeFetcher:
+    def test_roundtrip_matches_per_leaf_fetch(self):
+        # dtype-packed single-transfer fetch == naive per-leaf np.asarray
+        from pcd_reg_hregnet_tpu.train.loop import TreeFetcher
+        tree = {
+            'params': {'w': jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+                       'b': jnp.ones((4,), jnp.float32) * 2},
+            'stats': {'count': jnp.asarray(7, jnp.int32),
+                      'mean': jnp.linspace(0, 1, 5)},
+            'step': jnp.asarray(3, jnp.int32),
+        }
+        want = jax.tree.map(np.asarray, tree)
+        fetcher = TreeFetcher(tree)
+        got = fetcher(tree)
+        jax.tree.map(np.testing.assert_array_equal, got, want)
+        # reusable across calls with new values, same structure
+        tree2 = jax.tree.map(lambda x: x + 1, tree)
+        got2 = fetcher(tree2)
+        jax.tree.map(np.testing.assert_array_equal, got2,
+                     jax.tree.map(np.asarray, tree2))
