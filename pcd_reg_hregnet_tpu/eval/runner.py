@@ -88,9 +88,11 @@ def _evaluate_inner(cfg: Config, state: TrainState, *, split, icp,
 
     # restored checkpoints are host numpy trees: device-put ONCE, or every
     # batch re-uploads the whole parameter set through the device tunnel
-    # (the ab_knn timing bug, measured ~1 s/call of pure transfer)
-    params = jax.tree.map(jnp.asarray, state.params)
-    batch_stats = jax.tree.map(jnp.asarray, state.batch_stats)
+    # (the ab_knn timing bug, measured ~1 s/call of pure transfer) — and
+    # as ONE dtype-packed transfer, not one round-trip per leaf
+    from ..train.loop import push_to_device
+    params = push_to_device(state.params)
+    batch_stats = push_to_device(state.batch_stats) if state.batch_stats else {}
 
     @jax.jit
     def forward(params, batch_stats, batch):

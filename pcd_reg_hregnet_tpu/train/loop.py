@@ -393,6 +393,48 @@ class TreeFetcher:
         return jax.tree.unflatten(self.treedef, out)
 
 
+class TreePusher:
+    """Host->device upload of a pytree as ONE transfer per dtype — the
+    inverse of `TreeFetcher`, for pushing restored checkpoints to the
+    device (eval/infer): per-leaf `jnp.asarray` pays one tunnel
+    round-trip per leaf.  Leaves are concatenated host-side (cheap numpy),
+    uploaded per dtype, and split/reshaped on device inside one jit."""
+
+    def __init__(self, example_tree):
+        leaves, self.treedef = jax.tree.flatten(example_tree)
+        self.shapes = [np.shape(l) for l in leaves]
+        sizes = [int(np.prod(s)) for s in self.shapes]
+        self.sizes = sizes
+        self.groups = {}
+        for i, l in enumerate(leaves):
+            self.groups.setdefault(str(np.asarray(l).dtype), []).append(i)
+        group_items = list(self.groups.items())
+        shapes = self.shapes
+
+        def unpack(*bufs):
+            out = [None] * len(shapes)
+            for buf, (_, idxs) in zip(bufs, group_items):
+                off = 0
+                for i in idxs:
+                    out[i] = jax.lax.dynamic_slice_in_dim(
+                        buf, off, sizes[i]).reshape(shapes[i])
+                    off += sizes[i]
+            return jax.tree.unflatten(self.treedef, out)
+
+        self._unpack = jax.jit(unpack)
+
+    def __call__(self, host_tree):
+        leaves = jax.tree.leaves(host_tree)
+        bufs = [np.concatenate([np.ravel(leaves[i]) for i in idxs])
+                for _, idxs in self.groups.items()]
+        return self._unpack(*[jnp.asarray(b) for b in bufs])
+
+
+def push_to_device(tree):
+    """One-shot dtype-packed host->device upload of a pytree."""
+    return TreePusher(tree)(tree)
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     """Checkpoint to resume from under `ckpt_dir`, or None when none exist
     — the `--resume auto` preemption hook.  The rolling 'last' checkpoint

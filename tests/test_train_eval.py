@@ -469,3 +469,18 @@ class TestTreeFetcher:
         got2 = fetcher(tree2)
         jax.tree.map(np.testing.assert_array_equal, got2,
                      jax.tree.map(np.asarray, tree2))
+
+    def test_tree_pusher_roundtrip(self):
+        from pcd_reg_hregnet_tpu.train.loop import TreeFetcher, push_to_device
+        tree = {
+            'params': {'w': np.arange(12, dtype=np.float32).reshape(3, 4),
+                       'b': np.full((4,), 2.0, np.float32)},
+            'stats': {'count': np.asarray(7, np.int32),
+                      'mean': np.linspace(0, 1, 5).astype(np.float32)},
+        }
+        on_dev = push_to_device(tree)
+        got = jax.tree.map(np.asarray, on_dev)
+        jax.tree.map(np.testing.assert_array_equal, got, tree)
+        # composes with the fetcher
+        back = TreeFetcher(on_dev)(on_dev)
+        jax.tree.map(np.testing.assert_array_equal, back, tree)
