@@ -47,6 +47,22 @@ run_eval() {
         --batch-size 8 --ckpt "$ckpt" --results "$json" "$@"
 }
 
+# ---- 0. warm-vs-cold reg_v0 arms, if chain_r5a's deadline dropped them
+#         (VERDICT r4 #4 payoff comparison needs both) ----
+if [ ! -f runs/r5_v0_cold/metrics.csv ] && have_time 1100; then
+    tools/train_retry.sh runs/r5_v0_cold 2 --experiment reg_v0 --dataset synthetic \
+        --batch-size 8 --epochs 20
+    commit_stage "warm-vs-cold: cold-start reg_v0 20ep arm" runs/r5_v0_cold/metrics.csv
+fi
+if [ ! -f runs/r5_v0_warm/metrics.csv ] && [ -d runs/r5_feats_desc/ckpt/feats_descriptor ] \
+        && have_time 1100; then
+    tools/train_retry.sh runs/r5_v0_warm 2 --experiment reg_v0 --dataset synthetic \
+        --batch-size 8 --epochs 20 \
+        --pretrain-feats runs/r5_feats_desc/ckpt/feats_descriptor
+    commit_stage "warm-vs-cold: feats-warm-started reg_v0 20ep arm" \
+        runs/r5_v0_warm/metrics.csv
+fi
+
 # ---- 1. CPE verdict: complete 60-epoch cpe=curve schedule ----
 if have_time 2100; then
     tools/train_retry.sh runs/r5_v11_curve 3 --experiment reg_v11 --dataset synthetic \
