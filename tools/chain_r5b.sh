@@ -74,6 +74,16 @@ if have_time 2100; then
     commit_stage "CPE verdict: curve-arm test eval" results/v11_r5_curve_eval.json
 fi
 
+# ---- 1b. reg_v9 pickup if chain_r5a's deadline dropped it (VERDICT #7)
+if [ ! -f runs/r5_v9/metrics.csv ] && have_time 1100; then
+    tools/train_retry.sh runs/r5_v9 2 --experiment reg_v9 --dataset synthetic \
+        --batch-size 8 --epochs 20
+    commit_stage "reg_v9 (overlap-circle) 20ep hardware run (VERDICT r4 #7)" \
+        runs/r5_v9/metrics.csv runs/r5_v9/config.json
+    run_eval runs/r5_v9/ckpt/best_rre results/v9_r5_eval.json || true
+    commit_stage "reg_v9 test eval" results/v9_r5_eval.json
+fi
+
 # ---- 2./3. never-trained presets ----
 if have_time 1300; then
     tools/train_retry.sh runs/r5_v10 2 --experiment reg_v10 --dataset synthetic \
