@@ -51,6 +51,7 @@ def fit_feats(cfg: Config, *, stage: str = 'detector',
     logger = MetricLogger(log_dir, cfg)
     metrics: Dict[str, float] = {}
     total = 0
+    fetcher = None            # dtype-packed host fetch (see loop.TreeFetcher)
     for epoch in range(cfg.train.epochs):
         t0 = time.time()
         if hasattr(train_ds, 'set_epoch'):
@@ -71,8 +72,13 @@ def fit_feats(cfg: Config, *, stage: str = 'detector',
         metrics = {k: float(totals[i]) / count for i, k in enumerate(keys)}
         logger.log_epoch(epoch, metrics, {}, seconds=time.time() - t0)
         total += count
+        state_dict = {'params': state.params, 'batch_stats': state.batch_stats,
+                      'opt_state': state.opt_state, 'step': state.step}
+        if fetcher is None:
+            from .loop import TreeFetcher
+            fetcher = TreeFetcher(state_dict)
         save_checkpoint(os.path.join(log_dir, cfg.train.ckpt_dir),
-                        f'feats_{stage}', state, cfg, epoch)
+                        f'feats_{stage}', fetcher(state_dict), cfg, epoch)
         if max_steps is not None and total >= max_steps:
             break
     logger.close()
