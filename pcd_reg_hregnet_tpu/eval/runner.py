@@ -230,7 +230,12 @@ def infer_pair(cfg: Config, state: TrainState, src_points: np.ndarray,
              'igt': jnp.eye(4)[None]}, train=False)
         return ret['rotation'][-1], ret['translation'][-1]
 
-    R, t = forward(state.params, state.batch_stats, src, dst)
+    # one dtype-packed upload of the restored host checkpoint (per-leaf
+    # uploads pay a tunnel round-trip per leaf — serving latency)
+    from ..train.loop import push_to_device
+    params = push_to_device(state.params)
+    batch_stats = push_to_device(state.batch_stats) if state.batch_stats else {}
+    R, t = forward(params, batch_stats, src, dst)
     pose = se3.pack(R, t)
     out = {'transform': np.asarray(pose[0], np.float64).tolist(),
            'rotation': np.asarray(R[0], np.float64).tolist(),
