@@ -46,13 +46,31 @@ def fit_feats(cfg: Config, *, stage: str = 'detector',
         # params-only: the detector stage used a different freeze config, so
         # its opt_state tree does not match this stage's optimizer
         state = restore_params(pretrain_detector, state)
+    # Preemption/stall recovery: the stage checkpoint (written every
+    # epoch) restores IN FULL — params + opt_state + epoch — so a killed
+    # attempt continues instead of restarting the whole stage (the train
+    # loop got this in r2; feats stages relied on "short schedules" until
+    # a 50-epoch protocol run met a tunnel stall at epoch 31).
+    start_epoch = 0
+    stage_ckpt = os.path.abspath(
+        os.path.join(log_dir, cfg.train.ckpt_dir, f'feats_{stage}'))
+    meta_path = os.path.join(stage_ckpt, 'meta.json')
+    if os.path.exists(meta_path):
+        from .loop import restore_checkpoint
+        state = restore_checkpoint(stage_ckpt, state)
+        import json
+        with open(meta_path) as f:
+            start_epoch = min(json.load(f)['epoch'] + 1, cfg.train.epochs)
+        print(f'[resume] feats_{stage} checkpoint found -> '
+              f'continuing at epoch {start_epoch}/{cfg.train.epochs}')
     step = make_feats_train_step(objective, tx, mesh)
 
-    logger = MetricLogger(log_dir, cfg)
+    logger = MetricLogger(log_dir, cfg,
+                          trim_from_epoch=start_epoch if start_epoch else None)
     metrics: Dict[str, float] = {}
     total = 0
     fetcher = None            # dtype-packed host fetch (see loop.TreeFetcher)
-    for epoch in range(cfg.train.epochs):
+    for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         if hasattr(train_ds, 'set_epoch'):
             train_ds.set_epoch(epoch)
