@@ -47,12 +47,21 @@ run_eval() {
         --batch-size 8 --ckpt "$ckpt" --results "$json" "$@"
 }
 
-# ---- 0. warm-vs-cold reg_v0 arms, if chain_r5a's deadline dropped them
-#         (VERDICT r4 #4 payoff comparison needs both) ----
+# ---- 0. finish the feats protocol chain where chain_r5a's deadline cut
+#         it (VERDICT r4 #4: desc >=50ep then warm-vs-cold arms) ----
 if [ ! -f runs/r5_v0_cold/metrics.csv ] && have_time 1100; then
     tools/train_retry.sh runs/r5_v0_cold 2 --experiment reg_v0 --dataset synthetic \
         --batch-size 8 --epochs 20
     commit_stage "warm-vs-cold: cold-start reg_v0 20ep arm" runs/r5_v0_cold/metrics.csv
+fi
+if [ ! -d runs/r5_feats_desc/ckpt/feats_descriptor ] \
+        && [ -d runs/r5_feats_det/ckpt/feats_detector ] && have_time 2000; then
+    tools/feats_retry.sh runs/r5_feats_desc 3 --stage descriptor \
+        --dataset synthetic --batch-size 8 --epochs 50 \
+        --pretrain-detector runs/r5_feats_det/ckpt/feats_detector
+    commit_stage "feats pretrain: descriptor 50ep (frozen detector)" \
+        runs/r5_feats_desc/metrics.csv
+    save_ckpt runs/r5_feats_desc feats_descriptor
 fi
 if [ ! -f runs/r5_v0_warm/metrics.csv ] && [ -d runs/r5_feats_desc/ckpt/feats_descriptor ] \
         && have_time 1100; then
@@ -63,11 +72,15 @@ if [ ! -f runs/r5_v0_warm/metrics.csv ] && [ -d runs/r5_feats_desc/ckpt/feats_de
         runs/r5_v0_warm/metrics.csv
 fi
 
-# ---- 1. CPE verdict: complete 60-epoch cpe=curve schedule ----
-if have_time 2100; then
-    tools/train_retry.sh runs/r5_v11_curve 3 --experiment reg_v11 --dataset synthetic \
-        --batch-size 8 --epochs 60 --ptv3-cpe curve
-    commit_stage "CPE verdict: complete 60-epoch cpe=curve schedule (VERDICT r4 #5)" \
+# ---- 1. CPE verdict: cpe=curve through a complete OneCycle schedule ----
+# 60 epochs when the wall allows, else a complete 40-epoch schedule
+# (documented: a finished short schedule beats a truncated long one)
+CURVE_EPOCHS=
+if have_time 2100; then CURVE_EPOCHS=60; elif have_time 1500; then CURVE_EPOCHS=40; fi
+if [ -n "$CURVE_EPOCHS" ]; then
+    tools/train_retry.sh runs/r5_v11_curve 2 --experiment reg_v11 --dataset synthetic \
+        --batch-size 8 --epochs "$CURVE_EPOCHS" --ptv3-cpe curve
+    commit_stage "CPE verdict: complete ${CURVE_EPOCHS}-epoch cpe=curve schedule (VERDICT r4 #5)" \
         runs/r5_v11_curve/metrics.csv runs/r5_v11_curve/config.json
     save_ckpt runs/r5_v11_curve best_rre
     run_eval runs/r5_v11_curve/ckpt/best_rre results/v11_r5_curve_eval.json || true
